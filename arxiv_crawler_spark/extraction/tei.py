@@ -1,0 +1,278 @@
+"""TEI citation extraction — the per-row invariant of the engine.
+
+Re-states the reference extractor's semantics
+(``CitationExtractor.process_paper``, /root/reference/arxiv_crawler/src/
+arxiv_crawler/arxiv_util.py:187-271, plus helpers :107-185) on stdlib
+``xml.etree.ElementTree`` (lxml is not available in this environment; the
+fixtures emit well-formed XML so the recover-mode parser of
+arxiv_util.py:206 is not needed — malformed input is caught and routed to
+the failure path instead, mirroring crawler.py:181-186).
+
+Semantics preserved exactly (each tested):
+* bibliography walk in document order over ``//listBibl/biblStruct``
+  (arxiv_util.py:214); entries without an ``xml:id`` skipped (:215-217)
+* authors = forename(s) then surname(s) joined by single spaces (:221-230)
+* title: first ``title[@level="a"]``, else first ``title`` (:233-235)
+* year from ``date[@type="published"]/@when`` (:237); venue from
+  ``monogr/title`` (:238)
+* the four arXiv-id strategies in order: explicit ``idno[@type="arXiv"]``,
+  any-``idno`` abs//URL forms, ``ptr/@target`` URLs, venue CoRR /
+  "arXiv preprint" full-text (:132-185)
+* in-text references: ``ref[@type="bibr"]`` → ancestor ``<s>`` sentence,
+  else paragraph ". "-split fallback (:111-130, :260-265); de-duplicated as
+  a set (:257, :265)
+* text of an element = all descendant text nodes joined by " " then
+  stripped (:107-109) — ``ElementTree.itertext()`` yields exactly the
+  nodes lxml's ``.//text()`` does, in the same order
+
+One deliberate divergence, required for a *byte-stable* invariant: the
+reference materializes the per-citation sentence set via ``list(set)``
+(arxiv_util.py:267-269), whose order depends on the per-process string hash
+seed. We sort ``reference_contexts`` lexicographically. The reference's own
+golden test compares that field order-insensitively
+(tests/test_citation_extractor.py:149-158), so sorted order is within spec
+while making the canonical JSON reproducible across runs.
+
+The engine path is ``extract_pages`` — a ``mapInPandas`` transform: Arrow
+batches of ``(url, html)`` in, one Python XML parse per *document* (the
+granularity the reference also pays), no per-row Python UDF calls.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import re
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+TEI_NS = "http://www.tei-c.org/ns/1.0"
+XML_ID = "{http://www.w3.org/XML/1998/namespace}id"
+
+
+def _t(tag: str) -> str:
+    return f"{{{TEI_NS}}}{tag}"
+
+
+# regexes re-stated from arxiv_util.py:147,154,159,181
+_RE_EXPLICIT = re.compile(r"arXiv:?\s*(\d{4}\.\d{4,5})", re.IGNORECASE)
+_RE_ABS = re.compile(r"abs/(\d{4}\.\d{4,5})")
+_RE_URL = re.compile(r"arxiv\.org/(?:abs|pdf)/(\d{4}\.\d{4,5})", re.IGNORECASE)
+_RE_PREPRINT = re.compile(r"arXiv\s+preprint\s+arXiv:?(\d{4}\.\d{4,5})", re.IGNORECASE)
+
+
+def _get_text(elem: ET.Element) -> str:
+    """arxiv_util.py:107-109 — join of all descendant text nodes, stripped."""
+    return " ".join(elem.itertext()).strip()
+
+
+def _sentence_context(ref: ET.Element, parents: dict[ET.Element, ET.Element]) -> str | None:
+    """arxiv_util.py:111-130 — ancestor <s>, else <p> with '. ' split."""
+    anc = parents.get(ref)
+    sentence = None
+    paragraph = None
+    while anc is not None:
+        if sentence is None and anc.tag == _t("s"):
+            sentence = anc
+        if paragraph is None and anc.tag == _t("p"):
+            paragraph = anc
+        anc = parents.get(anc)
+    if sentence is not None:
+        return _get_text(sentence)
+    if paragraph is not None:
+        para_text = _get_text(paragraph)
+        ref_text = _get_text(ref)
+        for sent in para_text.split(". "):
+            if ref_text in sent:
+                return sent.strip()
+    return None
+
+
+def _extract_arxiv_id(bib: ET.Element, venue_list: list[str]) -> str | None:
+    """The four-strategy cascade of arxiv_util.py:132-185, same order."""
+    for idno in bib.iter(_t("idno")):
+        if idno.get("type") == "arXiv" and idno.text:
+            m = _RE_EXPLICIT.search(idno.text)
+            if m:
+                return m.group(1)
+            break  # reference checks only the first arXiv-typed idno text
+    for idno in bib.iter(_t("idno")):
+        text = idno.text or ""
+        m = _RE_ABS.search(text)
+        if m:
+            return m.group(1)
+        m = _RE_URL.search(text)
+        if m:
+            return m.group(1)
+    for ptr in bib.iter(_t("ptr")):
+        target = ptr.get("target") or ""
+        m = _RE_URL.search(target)
+        if m:
+            return m.group(1)
+    if venue_list:
+        venue_text = venue_list[0]
+        m = _RE_ABS.search(venue_text)
+        if m:
+            return m.group(1)
+        if "arxiv" in venue_text.lower():
+            all_text = " ".join(bib.itertext())
+            m = _RE_PREPRINT.search(all_text)
+            if m:
+                return m.group(1)
+    return None
+
+
+def extract_citations(xml_bytes: bytes) -> dict[str, dict[str, Any]]:
+    """Parse one TEI document → citations dict (the row oracle and the body
+    of the batch UDF — one shared implementation).
+
+    Returns ``{citation_id: {"details": {authors,title,year,venue,arxiv_id},
+    "references": [sorted sentences]}}`` in bibliography document order.
+    Raises on undecodable/unparsable input (failure path, crawler.py:181-186).
+    """
+    if xml_bytes[:2] == b"\x1f\x8b":  # gzip magic — stored form, crawler.py:123-128
+        xml_bytes = gzip.decompress(xml_bytes)
+    root = ET.fromstring(xml_bytes)
+
+    citations: dict[str, dict[str, Any]] = {}
+    references_sets: dict[str, set[str]] = {}
+
+    for listbibl in root.iter(_t("listBibl")):
+        for bib in listbibl.findall(_t("biblStruct")):
+            citation_id = bib.get(XML_ID)
+            if not citation_id:
+                continue
+            authors = []
+            for author in bib.iter(_t("author")):
+                for pers in author.findall(_t("persName")):
+                    name_parts = [e.text for e in pers.findall(_t("forename")) if e.text]
+                    name_parts += [e.text for e in pers.findall(_t("surname")) if e.text]
+                    if name_parts:
+                        authors.append(" ".join(name_parts))
+            titles = [e.text for e in bib.iter(_t("title")) if e.get("level") == "a" and e.text]
+            if not titles:
+                titles = [e.text for e in bib.iter(_t("title")) if e.text]
+            years = [
+                e.get("when")
+                for e in bib.iter(_t("date"))
+                if e.get("type") == "published" and e.get("when")
+            ]
+            venues = [
+                t.text
+                for mono in bib.iter(_t("monogr"))
+                for t in mono.findall(_t("title"))
+                if t.text
+            ]
+            arxiv_id = _extract_arxiv_id(bib, venues)
+            citations[citation_id] = {
+                "details": {
+                    "authors": authors,
+                    "title": titles[0] if titles else None,
+                    "year": years[0] if years else None,
+                    "venue": venues[0] if venues else None,
+                    "arxiv_id": arxiv_id,
+                },
+                "references": [],
+            }
+            references_sets[citation_id] = set()
+
+    parents = {c: p for p in root.iter() for c in p}
+    for ref in root.iter(_t("ref")):
+        if ref.get("type") != "bibr":
+            continue
+        target = (ref.get("target") or "").lstrip("#")
+        if target in citations:
+            sentence = _sentence_context(ref, parents)
+            if sentence:
+                references_sets[target].add(sentence)
+
+    for cid, cit in citations.items():
+        cit["references"] = sorted(references_sets[cid])
+    return citations
+
+
+def canonical_extraction_json(citations: dict[str, dict[str, Any]]) -> str:
+    """Byte-stable canonical form of an extraction — the string compared for
+    the byte-identical-per-url invariant (FIXTURES.md §5 format)."""
+    return json.dumps(citations, sort_keys=True, ensure_ascii=False, separators=(",", ":"))
+
+
+CITATION_STRUCT = T.StructType(
+    [
+        T.StructField("citation_id", T.StringType()),
+        T.StructField("authors", T.ArrayType(T.StringType())),
+        T.StructField("title", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("venue", T.StringType()),
+        T.StructField("arxiv_id", T.StringType()),
+        T.StructField("reference_contexts", T.ArrayType(T.StringType())),
+        T.StructField("num_references", T.IntegerType()),
+    ]
+)
+# ProcessedCitation parity: models.py:25-35 (num_references = len(references),
+# crawler.py:144)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("citations", T.ArrayType(CITATION_STRUCT)),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("num_citations", T.IntegerType()),
+    ]
+)
+
+
+def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Engine extraction: ``(url, html)`` → ``EXTRACTED_SCHEMA`` rows.
+
+    ``mapInPandas``: Arrow-batched; each batch is processed with one Python
+    call per *document* (XML parsing is inherently per-document — the same
+    granularity the reference pays per Grobid response). Extraction errors
+    yield ``ok=false`` rows (→ failed status, crawler.py:181-186) instead of
+    failing the task.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "url": [],
+                "ok": [],
+                "citations": [],
+                "extracted_text": [],
+                "num_citations": [],
+            }
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                out["url"].append(url)
+                try:
+                    cits = extract_citations(bytes(html))
+                    rows = [
+                        {
+                            "citation_id": cid,
+                            "authors": c["details"]["authors"],
+                            "title": c["details"]["title"],
+                            "year": c["details"]["year"],
+                            "venue": c["details"]["venue"],
+                            "arxiv_id": c["details"]["arxiv_id"],
+                            "reference_contexts": c["references"],
+                            "num_references": len(c["references"]),
+                        }
+                        for cid, c in cits.items()
+                    ]
+                    out["ok"].append(True)
+                    out["citations"].append(rows)
+                    out["extracted_text"].append(canonical_extraction_json(cits))
+                    out["num_citations"].append(len(rows))
+                except Exception:
+                    out["ok"].append(False)
+                    out["citations"].append([])
+                    out["extracted_text"].append(None)
+                    out["num_citations"].append(0)
+            yield pd.DataFrame(out)
+
+    return pages.select(url_col, html_col).mapInPandas(process, schema=EXTRACTED_SCHEMA)

@@ -1,0 +1,90 @@
+"""Golden extraction parity (SURVEY.md §5 t2): the mapInPandas engine
+extractor must be byte-identical per url to the row-at-a-time oracle
+(= the fixture ``text`` column), and structurally faithful to the
+reference's comparison semantics (test_citation_extractor.py:105-168)."""
+
+import gzip
+import json
+
+import pytest
+
+from arxiv_crawler_spark.extraction.tei import (
+    canonical_extraction_json,
+    extract_citations,
+    extract_pages,
+)
+from arxiv_crawler_spark.fixtures import gen_world, spark_pages
+
+
+@pytest.fixture(scope="module")
+def world_pdf():
+    return gen_world(n_docs=60, seed=42)
+
+
+def test_fixture_text_is_oracle_output(world_pdf):
+    for _, row in world_pdf.head(10).iterrows():
+        assert canonical_extraction_json(extract_citations(row["html"])) == row["text"]
+
+
+def test_extraction_structure(world_pdf):
+    cits = extract_citations(world_pdf.iloc[0]["html"])
+    assert len(cits) >= 4
+    some_arxiv = [c for c in cits.values() if c["details"]["arxiv_id"]]
+    assert some_arxiv, "at least one bib entry should carry an arXiv id"
+    for c in cits.values():
+        d = c["details"]
+        assert isinstance(d["authors"], list) and d["title"]
+        assert c["references"] == sorted(c["references"])  # canonical ordering
+
+
+def test_all_four_id_strategies_hit(world_pdf):
+    """Across the fixture corpus every extraction strategy of
+    arxiv_util.py:132-185 must fire (strategy is rotated k % 4)."""
+    found = set()
+    for _, row in world_pdf.iterrows():
+        raw = gzip.decompress(bytes(row["html"])).decode()
+        cits = extract_citations(row["html"])
+        for cid, c in cits.items():
+            if not c["details"]["arxiv_id"]:
+                continue
+            aid = c["details"]["arxiv_id"]
+            if f'<idno type="arXiv">arXiv:{aid}' in raw:
+                found.add(0)
+            elif f"abs/{aid}</idno>" in raw:
+                found.add(1)
+            elif f'<ptr target="https://arxiv.org/abs/{aid}"' in raw:
+                found.add(2)
+            elif f"arXiv preprint arXiv:{aid}" in raw:
+                found.add(3)
+    assert found == {0, 1, 2, 3}
+
+
+def test_byte_identical_engine_vs_oracle(spark, world_pdf):
+    """The engine (Arrow-batched mapInPandas) output must equal the oracle
+    text byte-for-byte, per url — BASELINE.json input_hint invariant."""
+    pages = spark_pages(spark, world_pdf)
+    got = {r["url"]: r for r in extract_pages(pages).collect()}
+    assert len(got) == len(world_pdf)
+    for _, row in world_pdf.iterrows():
+        g = got[row["url"]]
+        assert g["ok"]
+        assert g["extracted_text"] == row["text"], row["url"]
+        # structural parity of the exploded citation array
+        oracle = json.loads(row["text"])
+        assert [c["citation_id"] for c in g["citations"]] == list(oracle.keys())
+        assert g["num_citations"] == len(oracle)
+
+
+def test_malformed_html_fails_row_not_job(spark):
+    import pandas as pd
+
+    from arxiv_crawler_spark.fixtures import BASE_TS
+
+    pdf = pd.DataFrame(
+        [
+            {"url": "https://x.example/bad", "warc_ts": BASE_TS, "html": b"\x00notxml",
+             "text": "", "lang": "en"},
+        ]
+    )
+    out = extract_pages(spark_pages(spark, pdf)).collect()
+    assert len(out) == 1 and out[0]["ok"] is False and out[0]["num_citations"] == 0
