@@ -1,0 +1,175 @@
+"""Frontier DataFrame operations: priority ordering, wave selection with
+salted per-host windows, seed merge, and the per-round frontier merge.
+
+This module is the distributed re-statement of the reference's in-memory
+priority dict (``queued_ids``, crawler.py:59) and its update rules
+(crawler.py:149-157, 215-226). Everything is declarative DataFrame code —
+Catalyst plans the joins, AQE handles skew — except the two decisions Spark
+cannot make for us: the deterministic ``discovery_seq`` encoding and the
+two-level salted window-rank that defeats host skew.
+
+discovery_seq
+-------------
+The reference's tie-break is CPython dict insertion order (``max`` returns
+the *first* maximal item, crawler.py:195-205). Insertion order is exactly
+"(round, pop-rank of the citing paper, bib-entry index) of the first
+discovery" — so instead of maintaining a dense counter (which would need a
+global window per round), we *encode* that triple into one int64::
+
+    seq = (round << 42) | (pop_rank << 21) | bib_index
+
+Order-isomorphic to insertion order, collision-free (pop_rank and bib_index
+< 2^21, round < 2^20 — bounds asserted), and assigned with pure column
+arithmetic: no window, no ``monotonically_increasing_id`` (whose values are
+partition-dependent and would break replay determinism, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "priority_order",
+    "encode_seq",
+    "merge_seeds",
+    "select_wave",
+    "merge_frontier",
+]
+
+_SEQ_ROUND_SHIFT = 42
+_SEQ_RANK_SHIFT = 21
+_SEQ_FIELD_MAX = (1 << 21) - 1
+
+
+def priority_order(phase: str) -> list[Column]:
+    """Sort columns for a phase (crawler.py:195-205).
+
+    bfs       = max over (-depth, count)  → depth asc, count desc
+    citations = max over (count, -depth)  → count desc, depth asc
+    tie-break = first inserted            → discovery_seq asc
+    """
+    if phase == "bfs":
+        return [F.asc("depth"), F.desc("count"), F.asc("discovery_seq")]
+    if phase == "citations":
+        return [F.desc("count"), F.asc("depth"), F.asc("discovery_seq")]
+    raise ValueError(f"unknown phase: {phase}")
+
+
+def encode_seq(round_no: Column | int, pop_rank: Column | int, bib_index: Column | int) -> Column:
+    r = F.lit(round_no) if isinstance(round_no, int) else round_no
+    p = F.lit(pop_rank) if isinstance(pop_rank, int) else pop_rank
+    b = F.lit(bib_index) if isinstance(bib_index, int) else bib_index
+    return (
+        F.shiftleft(r.cast("long"), _SEQ_ROUND_SHIFT)
+        + F.shiftleft(p.cast("long"), _SEQ_RANK_SHIFT)
+        + b.cast("long")
+    )
+
+
+def merge_seeds(frontier: DataFrame, seen: DataFrame, seeds: DataFrame, round_no: int) -> DataFrame:
+    """Seed-merge semantics of crawler.py:215-226.
+
+    ``seeds``: (url_hash, url, host, seed_idx) in seed-list order, already
+    canonicalized. Rules: drop seeds already seen; a seed already queued
+    keeps its count and queue position but has depth reset to 0
+    (crawler.py:223-224); a new seed enqueues with (0, 0) at the end, in
+    seed order. Duplicate seeds collapse to their first occurrence.
+    """
+    w = Window.partitionBy("url_hash").orderBy("seed_idx")
+    s = (
+        seeds.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .join(seen.select("url_hash"), "url_hash", "left_anti")
+    )
+    joined = frontier.alias("f").join(s.alias("s"), "url_hash", "full_outer")
+    return joined.select(
+        F.col("url_hash"),
+        F.coalesce(F.col("f.url"), F.col("s.url")).alias("url"),
+        F.coalesce(F.col("f.host"), F.col("s.host")).alias("host"),
+        F.coalesce(F.col("f.count"), F.lit(0)).alias("count"),
+        F.when(F.col("s.seed_idx").isNotNull(), F.lit(0))
+        .otherwise(F.col("f.depth"))
+        .cast("int")
+        .alias("depth"),
+        F.coalesce(
+            F.col("f.discovery_seq"), encode_seq(round_no, 0, F.col("s.seed_idx"))
+        ).alias("discovery_seq"),
+    )
+
+
+def select_wave(
+    frontier: DataFrame,
+    phase: str,
+    *,
+    wave_cap: int,
+    host_budgets: DataFrame | None = None,
+    default_budget: int = 1,
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Pick the next fetch wave.
+
+    Per-host budgets (politeness, X6) are enforced with a **two-level salted
+    window-rank** (the north_rule technique): rank within (host, salt) and
+    keep ≤ budget per salt — this bounds any single task's window to
+    1/salt_factor of a hot host — then re-rank the ≤ salt·budget survivors
+    within the host to take the exact per-host top-budget. A global
+    priority-sorted ``limit(wave_cap)`` applies last. Replay mode is just
+    ``wave_cap=1`` with no budgets.
+
+    Returns wave rows + ``pop_rank`` (1-based, priority order).
+    """
+    order = priority_order(phase)
+    cand = frontier
+    if host_budgets is not None:
+        cand = cand.join(F.broadcast(host_budgets), "host", "left").withColumn(
+            "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
+        )
+    else:
+        cand = cand.withColumn("budget", F.lit(default_budget))
+
+    if wave_cap > 1:
+        salt = F.pmod(F.xxhash64("url_hash"), F.lit(salt_factor))
+        w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+        cand = cand.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= F.col("budget"))
+        w2 = Window.partitionBy("host").orderBy(*order)
+        cand = cand.withColumn("_r2", F.row_number().over(w2)).filter(F.col("_r2") <= F.col("budget"))
+        cand = cand.drop("_r1", "_r2")
+
+    wave = cand.orderBy(*order).limit(wave_cap)
+    wr = Window.orderBy(*order)  # wave is ≤ wave_cap rows — single-partition window is fine
+    return wave.withColumn("pop_rank", F.row_number().over(wr)).drop("budget")
+
+
+def merge_frontier(
+    frontier_changed_old: DataFrame,
+    wave_keys: DataFrame,
+    discoveries: DataFrame,
+    round_no: int,
+) -> DataFrame:
+    """Per-round frontier merge over the *changed buckets only* (COW).
+
+    ``discoveries``: (url_hash, url, host, occ, first_pop_rank,
+    first_bib_index, first_depth) — already deduped against ``seen`` and
+    aggregated per occurrence (crawler.py:149-157 / SURVEY.md X3):
+
+    * popped keys leave the frontier (crawler.py:204)
+    * an already-queued key gains +occ count, keeps its depth and its queue
+      position (count of first discovery wins depth — crawler.py:156-157)
+    * a new key enters with (occ, first_depth + 1) at queue position
+      ``encode_seq(round, first_pop_rank, first_bib_index)``
+    """
+    rest = frontier_changed_old.join(wave_keys.select("url_hash"), "url_hash", "left_anti")
+    merged = rest.alias("f").join(discoveries.alias("d"), "url_hash", "full_outer")
+    return merged.select(
+        F.col("url_hash"),
+        F.coalesce(F.col("f.url"), F.col("d.url")).alias("url"),
+        F.coalesce(F.col("f.host"), F.col("d.host")).alias("host"),
+        (F.coalesce(F.col("f.count"), F.lit(0)) + F.coalesce(F.col("d.occ"), F.lit(0))).alias("count"),
+        F.coalesce(F.col("f.depth"), F.col("d.first_depth") + 1).cast("int").alias("depth"),
+        F.coalesce(
+            F.col("f.discovery_seq"),
+            encode_seq(F.lit(round_no), F.col("d.first_pop_rank"), F.col("d.first_bib_index")),
+        ).alias("discovery_seq"),
+    )

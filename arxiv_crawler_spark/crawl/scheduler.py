@@ -1,0 +1,480 @@
+"""The crawl round loop — distributed re-statement of ``ArxivCrawler.crawl``
+(crawler.py:207-279).
+
+Each scheduling round is ONE batch DataFrame job chain:
+
+    frontier ── select_wave (priority + salted per-host windows) ──┐
+    pages ───── fetch join (broadcast the wave) ── extract (Arrow) ─┤
+    seen ────── anti-join dedupe (Bloom pre-filter) ── aggregate ───┤
+                merge frontier (COW buckets) + append fetched/edges ┘
+                → atomic snapshot commit (manifest flip)
+
+Two modes:
+
+* ``replay`` (wave of 1): bit-matches the reference's sequential pop order
+  — the correctness contract of BASELINE.json (same seed list + politeness
+  budget → same crawl ordering + final URL-seen set).
+* ``wave`` (K per round): the scale mode. Ordering equivalence is only
+  guaranteed for K=1; wave mode preserves the final URL-seen *set* under
+  an equal politeness budget (tested), which is the order-insensitive half
+  of the contract.
+
+Scale notes (local[32] here, 1000 executors at 100 TB):
+* the wave is broadcast into the fetch join — `pages` (the 100 TB side)
+  is never shuffled; with `pages` stored bucketed by url the join is a
+  co-located probe.
+* the seen-set anti-join probes only links that survive the sharded Bloom
+  pre-filter; seen deltas are written hash-bucketed and sorted by url_hash
+  so parquet row-group stats prune the probe scan.
+* frontier commits rewrite only changed hash buckets (COW manifests).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.crawl import politeness as pol
+from arxiv_crawler_spark.crawl.bloom import ShardedBloom
+from arxiv_crawler_spark.crawl.frontier import (
+    encode_seq,
+    merge_frontier,
+    merge_seeds,
+    select_wave,
+)
+from arxiv_crawler_spark.crawl.store import SnapshotStore
+from arxiv_crawler_spark.extraction.tei import extract_pages
+from arxiv_crawler_spark.functions.hashing import url_hash
+from arxiv_crawler_spark.functions.urls import arxiv_id_to_url, canonicalize_url, host_of
+
+__all__ = ["CrawlConfig", "CrawlEngine"]
+
+
+@dataclass
+class CrawlConfig:
+    mode: str = "replay"  # 'replay' (K=1, order-exact) | 'wave'
+    max_papers: int = 100  # crawler.py:32
+    wave_size: int = 1  # K: fetches per round (wave mode)
+    round_seconds: float = 3.0  # politeness token window (≙ rate_limit_delay)
+    hash_algo: str = "xxhash64"  # 'murmur64' | 'xxhash64' | 'md5_60'
+    n_buckets: int = 32
+    salt_factor: int = 8
+    use_bloom: bool = True
+    bloom_bits_per_shard: int = 1 << 20
+    broadcast_wave_max: int = 2_000_000  # broadcast fetch join below this wave size
+    phase_switch: bool = True  # BFS → citation-greedy at max_papers//2 (crawler.py:243-246)
+
+
+@dataclass
+class RoundResult:
+    round_no: int
+    phase: str
+    waved: int
+    processed: int
+    failed: int
+    new_links: int
+    deduped: int
+    robots_denied: int
+    politeness_deferred: int
+    frontier_size: int
+    seconds: float = 0.0
+    lineage: dict[str, Any] = field(default_factory=dict)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        pages: DataFrame,
+        config: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.store = SnapshotStore(store_path, spark, n_buckets=self.cfg.n_buckets)
+        self.pages = pages
+        self.robots = robots
+        if self.cfg.mode == "replay":
+            self.cfg.wave_size = 1
+
+    # ------------------------------------------------------------ helpers
+    def _hash(self, col):
+        return url_hash(col, self.cfg.hash_algo)
+
+    def _phase(self, processed_count: int) -> str:
+        """crawler.py:236,243-246: forced BFS first; citation-greedy once
+        papers_processed > max_papers // 2 (count survives resume — X5)."""
+        if self.cfg.phase_switch and processed_count > self.cfg.max_papers // 2:
+            return "citations"
+        return "bfs"
+
+    # ---------------------------------------------------------- bootstrap
+    def bootstrap(self, seed_arxiv_ids: list[str]) -> dict[str, Any]:
+        """Initialize the store with the seed frontier (X1, crawler.py:215-226).
+
+        Bootstrapping over an existing store re-runs the seed merge against
+        the current frontier/seen (resume + new seeds, like re-invoking
+        ``crawl`` with a loaded state)."""
+        seeds_pdf = pd.DataFrame(
+            {"raw_id": seed_arxiv_ids, "seed_idx": list(range(len(seed_arxiv_ids)))}
+        )
+        seeds = (
+            self.spark.createDataFrame(seeds_pdf)
+            .withColumn("url", canonicalize_url(arxiv_id_to_url(F.col("raw_id"))))
+            .withColumn("host", host_of(F.col("url")))
+            .withColumn("url_hash", self._hash(F.col("url")))
+        )
+        seeds, denied = pol.split_robots_denied(seeds, self.robots)
+
+        if self.store.exists():
+            m = self.store.manifest()
+            frontier, seen = self.store.frontier(m), self.store.seen(m)
+            round_no, processed, failed, pops = (
+                m["round"],
+                m["processed_count"],
+                m["failed_count"],
+                m["total_pops"],
+            )
+            bloom = self.store.bloom(m)
+        else:
+            frontier, seen = self.store._empty_frontier(), self.store._empty_seen()
+            round_no, processed, failed, pops = 0, 0, 0, 0
+            bloom = (
+                ShardedBloom(self.cfg.n_buckets, self.cfg.bloom_bits_per_shard)
+                if self.cfg.use_bloom
+                else None
+            )
+
+        new_frontier = merge_seeds(frontier, seen, seeds, round_no)
+        denied_rows = denied.select(
+            "url_hash", "url", F.lit("robots_denied").alias("status")
+        ).join(seen.select("url_hash"), "url_hash", "left_anti")
+        if bloom is not None:
+            dh = np.array([r[0] for r in denied_rows.select("url_hash").collect()], dtype=np.int64)
+            bloom.add(dh)
+
+        size = new_frontier.count()
+        return self.store.commit(
+            round_no,
+            frontier_changed=new_frontier,
+            changed_buckets=None,  # full rewrite at bootstrap
+            seen_delta=denied_rows if self.robots is not None else None,
+            bloom=bloom,
+            meta={
+                "processed_count": processed,
+                "failed_count": failed,
+                "total_pops": pops,
+                "frontier_size": size,
+                "max_papers": self.cfg.max_papers,
+                "lineage": {"round": round_no, "frontier_size": size},
+            },
+        )
+
+    # -------------------------------------------------------------- round
+    def run_round(self) -> RoundResult | None:
+        t0 = time.monotonic()
+        m = self.store.manifest()
+        round_no = m["round"] + 1
+        processed_count, failed_count, total_pops = (
+            m["processed_count"],
+            m["failed_count"],
+            m["total_pops"],
+        )
+        if processed_count >= self.cfg.max_papers or m["frontier_size"] == 0:
+            return None  # crawler.py:243 termination
+
+        phase = self._phase(processed_count)
+        frontier = self.store.frontier(m)
+        seen = self.store.seen(m)
+
+        # 1. wave selection (W1/W2/X6)
+        remaining = self.cfg.max_papers - processed_count
+        wave_cap = min(self.cfg.wave_size, remaining)
+        budgets = pol.host_budgets(self.robots, self.cfg.round_seconds)
+        wave = select_wave(
+            frontier,
+            phase,
+            wave_cap=wave_cap,
+            host_budgets=budgets,
+            default_budget=pol.default_budget(self.cfg.round_seconds),
+            salt_factor=self.cfg.salt_factor,
+        ).cache()
+        waved = wave.count()
+        if waved == 0:
+            return None
+
+        # 2. fetch = join against pages (S8/S9: the sandbox fetch layer).
+        # Broadcast the small wave so the 100 TB pages side never shuffles.
+        wave_b = F.broadcast(wave) if waved <= self.cfg.broadcast_wave_max else wave
+        fetch = wave_b.join(
+            self.pages.select("url", "html"), "url", "left"
+        )
+
+        # 3. extract (U1, Arrow-batched) and join status back onto the wave
+        ext = extract_pages(fetch.filter(F.col("html").isNotNull()))
+        fetched = (
+            wave.join(ext, "url", "left")
+            .withColumn("ok", F.coalesce(F.col("ok"), F.lit(False)))
+            .withColumn(
+                "status", F.when(F.col("ok"), F.lit("processed")).otherwise(F.lit("failed"))
+            )
+            .withColumn("round", F.lit(round_no))
+            .withColumn("phase", F.lit(phase))
+            .withColumn("global_order", F.lit(total_pops) + F.col("pop_rank") - 1)
+            .withColumnRenamed("count", "count_at_pop")
+            .cache()
+        )
+
+        # 4. edges: explode citations with their bib index (F8)
+        edges = fetched.filter(F.col("status") == "processed").select(
+            F.col("url").alias("citing_url"),
+            F.col("depth").alias("citing_depth"),
+            "pop_rank",
+            F.posexplode_outer("citations").alias("bib_index", "cit"),
+        )
+        edges_out = edges.filter(F.col("cit").isNotNull()).select(
+            "citing_url",
+            "citing_depth",
+            F.lit(round_no).alias("round"),
+            F.col("cit.citation_id").alias("citation_id"),
+            F.col("cit.authors").alias("authors"),
+            F.col("cit.title").alias("title"),
+            F.col("cit.year").alias("year"),
+            F.col("cit.venue").alias("venue"),
+            F.col("cit.arxiv_id").alias("cited_arxiv_id"),
+            F.col("cit.reference_contexts").alias("reference_contexts"),
+            F.col("cit.num_references").alias("num_references"),
+        )
+
+        # 5. discovered links (per occurrence — crawler.py:134,151)
+        links = (
+            edges.filter(F.col("cit.arxiv_id").isNotNull())
+            .withColumn("url", canonicalize_url(arxiv_id_to_url(F.col("cit.arxiv_id"))))
+            .withColumn("host", host_of(F.col("url")))
+            .withColumn("url_hash", self._hash(F.col("url")))
+            .select("url_hash", "url", "host", "pop_rank", "bib_index", "citing_depth")
+            .cache()
+        )
+        n_links = links.count()
+
+        links_ok, links_denied = pol.split_robots_denied(links, self.robots)
+
+        # 6. seen-set dedupe (J1): Bloom pre-filter, then exact anti-join
+        bloom = self.store.bloom(m) if self.cfg.use_bloom else None
+        if bloom is not None and n_links > 0:
+            maybe_seen = self._bloom_filter_links(links_ok, bloom, True)
+            surely_new = self._bloom_filter_links(links_ok, bloom, False)
+            checked = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")
+            unseen = surely_new.unionByName(checked)
+        else:
+            unseen = links_ok.join(seen.select("url_hash"), "url_hash", "left_anti")
+        if self.cfg.mode != "replay":
+            # wave mode: also drop links to members of this very wave
+            # (sequentially they would have been seen; seen-set equality holds)
+            unseen = unseen.join(wave.select("url_hash"), "url_hash", "left_anti")
+
+        # 7. per-key aggregation (A2/X3): occurrences + first discovery
+        disc = unseen.groupBy("url_hash", "url", "host").agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct("pop_rank", "bib_index", "citing_depth")).alias("first"),
+        ).select(
+            "url_hash",
+            "url",
+            "host",
+            "occ",
+            F.col("first.pop_rank").alias("first_pop_rank"),
+            F.col("first.bib_index").alias("first_bib_index"),
+            F.col("first.citing_depth").alias("first_depth"),
+        ).cache()
+
+        # 8. COW frontier merge over changed buckets only
+        changed = sorted(
+            {int(h) % self.cfg.n_buckets for h in self._collect_hash_buckets(wave, disc)}
+        )
+        bucket_col = F.pmod(F.col("url_hash"), F.lit(self.cfg.n_buckets)).cast("int")
+        frontier_changed_old = frontier.filter(bucket_col.isin(changed)) if changed else frontier.limit(0)
+        new_frontier_part = merge_frontier(
+            frontier_changed_old, wave.select("url_hash"), disc, round_no
+        ).cache()
+
+        # 9. seen delta + dedupe/lineage counters
+        denied_new = (
+            links_denied.select("url_hash", "url")
+            .distinct()
+            .join(seen.select("url_hash"), "url_hash", "left_anti")
+            .join(wave.select("url_hash"), "url_hash", "left_anti")
+            .withColumn("status", F.lit("robots_denied"))
+        )
+        seen_delta = wave.select(
+            "url_hash", "url"
+        ).join(fetched.select("url_hash", "status"), "url_hash").unionByName(denied_new)
+
+        fetched_out = fetched.select(
+            "url_hash",
+            "url",
+            "host",
+            "round",
+            "global_order",
+            "pop_rank",
+            "depth",
+            "count_at_pop",
+            "phase",
+            "status",
+            "num_citations",
+            "extracted_text",
+        )
+
+        # materialize counters
+        stats = fetched.agg(
+            F.sum(F.when(F.col("status") == "processed", 1).otherwise(0)).alias("p"),
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("f"),
+        ).collect()[0]
+        n_new = disc.agg(F.coalesce(F.sum("occ"), F.lit(0))).collect()[0][0]
+        n_denied = denied_new.count()
+        # occurrences not newly queued (already seen, in-wave, or robots-denied)
+        deduped = int(n_links - n_new)
+
+        # politeness deferral: candidates beyond budget, per host
+        deferred = 0
+        lineage_hosts: dict[str, int] = {}
+        if self.cfg.mode != "replay":
+            fh = frontier.groupBy("host").count()
+            wh = wave.groupBy("host").agg(F.count(F.lit(1)).alias("got"))
+            rows = fh.join(wh, "host", "left").fillna(0, ["got"]).collect()
+            for r in rows:
+                d = int(r["count"] - r["got"])
+                if d > 0:
+                    lineage_hosts[r["host"]] = d
+                    deferred += d
+
+        # update bloom with everything newly seen
+        if bloom is not None:
+            new_seen_h = np.array(
+                [r[0] for r in seen_delta.select("url_hash").collect()], dtype=np.int64
+            )
+            bloom.add(new_seen_h)
+
+        new_processed = processed_count + int(stats["p"])
+        new_failed = failed_count + int(stats["f"])
+
+        per_bucket = {
+            str(r["b"]): int(r["c"])
+            for r in new_frontier_part.groupBy(bucket_col.alias("b")).agg(
+                F.count(F.lit(1)).alias("c")
+            ).collect()
+        }
+        # exact frontier size: unchanged buckets keep their rows; changed
+        # buckets are replaced wholesale by the merged partition
+        old_changed_count = frontier_changed_old.count()
+        new_size = m["frontier_size"] - old_changed_count + sum(per_bucket.values())
+        lineage = {
+            "round": round_no,
+            "phase": phase,
+            "frontier_size": new_size,
+            "fetched": int(waved),
+            "processed": int(stats["p"]),
+            "failed": int(stats["f"]),
+            "links": int(n_links),
+            "deduped": int(deduped),
+            "robots_denied": int(n_denied),
+            "politeness_deferred": int(deferred),
+            "politeness_deferred_by_host": lineage_hosts,
+            "frontier_changed_buckets": {str(b): per_bucket.get(str(b), 0) for b in changed},
+        }
+
+        self.store.commit(
+            round_no,
+            frontier_changed=new_frontier_part,
+            changed_buckets=changed,
+            seen_delta=seen_delta,
+            fetched_delta=fetched_out,
+            edges_delta=edges_out,
+            bloom=bloom,
+            meta={
+                "processed_count": new_processed,
+                "failed_count": new_failed,
+                "total_pops": total_pops + waved,
+                "frontier_size": new_size,
+                "max_papers": self.cfg.max_papers,
+                "lineage": lineage,
+            },
+        )
+        for df in (wave, fetched, links, disc, new_frontier_part):
+            df.unpersist()
+        return RoundResult(
+            round_no,
+            phase,
+            waved,
+            int(stats["p"]),
+            int(stats["f"]),
+            int(n_new),
+            int(deduped),
+            int(n_denied),
+            int(deferred),
+            int(new_size),
+            time.monotonic() - t0,
+            lineage,
+        )
+
+    def _collect_hash_buckets(self, wave: DataFrame, disc: DataFrame) -> list[int]:
+        rows = (
+            wave.select("url_hash")
+            .unionByName(disc.select("url_hash"))
+            .select(F.pmod(F.col("url_hash"), F.lit(self.cfg.n_buckets)).cast("int").alias("b"))
+            .distinct()
+            .collect()
+        )
+        return [r["b"] for r in rows]
+
+    def _bloom_filter_links(self, links: DataFrame, bloom: ShardedBloom, keep_hits: bool) -> DataFrame:
+        """mapInPandas membership test against the sharded Bloom bitmaps
+        (broadcast to executors once per round)."""
+        bc = self.spark.sparkContext.broadcast({"bits": bloom.bits, "m": int(bloom.m), "k": bloom.k, "n": bloom.n_shards})
+        schema = links.schema
+
+        def part(batches):
+            b = bc.value
+            f = ShardedBloom(b["n"], b["m"], b["k"])
+            f.bits = b["bits"]
+            for pdf in batches:
+                mask = f.contains(pdf["url_hash"].to_numpy(dtype=np.int64))
+                yield pdf[mask if keep_hits else ~mask]
+
+        return links.mapInPandas(part, schema=schema)
+
+    # ---------------------------------------------------------------- run
+    def run(self, max_rounds: int | None = None) -> list[RoundResult]:
+        results: list[RoundResult] = []
+        while max_rounds is None or len(results) < max_rounds:
+            r = self.run_round()
+            if r is None:
+                break
+            results.append(r)
+        return results
+
+    # -------------------------------------------------------------- views
+    def trace(self) -> DataFrame:
+        """Pop-ordered crawl trace (FIXTURES.md §4 schema)."""
+        return self.store.fetched().select(
+            F.col("global_order").alias("order"),
+            "url",
+            "depth",
+            F.col("count_at_pop"),
+            "phase",
+            "status",
+        ).orderBy("order")
+
+    def seen_statuses(self) -> DataFrame:
+        """Final URL-seen set: processed ∪ failed ∪ still-queued
+        (crawler.py:57-59)."""
+        m = self.store.manifest()
+        return self.store.seen(m).select("url", "status").unionByName(
+            self.store.frontier(m).select("url", F.lit("queued").alias("status"))
+        )

@@ -1,0 +1,187 @@
+"""Snapshot store — Iceberg-shaped checkpointing on plain parquet.
+
+No Iceberg/Delta jars are available in this sandbox (SURVEY.md §7.0), so the
+store re-creates the two Iceberg behaviors the north_rule needs, behind an
+interface an Iceberg catalog can replace verbatim:
+
+* **Atomic snapshot commits with copy-on-write at bucket granularity.** The
+  frontier lives in ``n_buckets`` hash buckets (``pmod(url_hash, n_buckets)``
+  — the same key the joins shuffle on). A round rewrites *only the buckets
+  its wave/discoveries touch*; untouched buckets are carried forward in the
+  manifest by reference, exactly like Iceberg's file-level COW of a MERGE.
+  The manifest pointer is flipped with an ``os.replace`` (atomic on POSIX),
+  so a crash mid-commit leaves the previous snapshot intact — this is the
+  "resume exactly from a checkpoint" contract (vs. the reference, which
+  rewrites its whole JSON state after every paper, crawler.py:76-85,266).
+
+* **Append-only logs.** ``seen`` is a chain of per-round delta directories
+  (a popped URL's status never changes — failed ids are never retried,
+  crawler.py:261-263 — so seen needs no compaction, only union). ``fetched``
+  and ``edges`` are round-partitioned appends (≙ papers.jsonl /
+  citations.jsonl append logs, crawler.py:188-193).
+
+Per-partition lineage counters (frontier size per bucket, fetched, deduped,
+politeness-deferred per host) live in each snapshot's manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.crawl.bloom import ShardedBloom
+
+__all__ = ["SnapshotStore"]
+
+MANIFEST = "manifest.json"
+
+
+class SnapshotStore:
+    def __init__(self, path: str, spark: SparkSession, n_buckets: int = 32):
+        self.path = path
+        self.spark = spark
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # ---------------------------------------------------------------- io
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._manifest_path())
+
+    def manifest(self) -> dict[str, Any]:
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict[str, Any]) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic pointer flip
+
+    # ------------------------------------------------------------- reads
+    def frontier(self, manifest: dict[str, Any] | None = None) -> DataFrame:
+        m = manifest or self.manifest()
+        dirs = sorted(set(m["frontier_buckets"].values()))
+        paths = [os.path.join(self.path, d) for d in dirs if os.path.isdir(os.path.join(self.path, d))]
+        if not paths:
+            return self._empty_frontier()
+        return self.spark.read.parquet(*paths)
+
+    def seen(self, manifest: dict[str, Any] | None = None) -> DataFrame:
+        m = manifest or self.manifest()
+        paths = [os.path.join(self.path, d) for d in m["seen_deltas"]]
+        if not paths:
+            return self._empty_seen()
+        return self.spark.read.parquet(*paths)
+
+    def fetched(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "fetched"))
+
+    def edges(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "edges"))
+
+    def bloom(self, manifest: dict[str, Any] | None = None) -> ShardedBloom | None:
+        m = manifest or self.manifest()
+        bf = m.get("bloom_file")
+        if not bf:
+            return None
+        return ShardedBloom.load(os.path.join(self.path, bf))
+
+    def _empty_frontier(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "url_hash long, url string, host string, count long, depth int, discovery_seq long"
+        )
+
+    def _empty_seen(self) -> DataFrame:
+        return self.spark.createDataFrame([], "url_hash long, url string, status string")
+
+    # ------------------------------------------------------------ commit
+    def commit(
+        self,
+        round_no: int,
+        *,
+        frontier_changed: DataFrame | None,
+        changed_buckets: list[int] | None,
+        seen_delta: DataFrame | None,
+        fetched_delta: DataFrame | None = None,
+        edges_delta: DataFrame | None = None,
+        bloom: ShardedBloom | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Write one snapshot.
+
+        ``frontier_changed`` holds the *full new contents* of exactly the
+        buckets in ``changed_buckets``; every other bucket is carried
+        forward by manifest reference. ``changed_buckets=None`` means a
+        full rewrite (bootstrap / compaction).
+        """
+        snap = f"snapshots/r{round_no:06d}"
+        snap_abs = os.path.join(self.path, snap)
+        if os.path.exists(snap_abs):
+            shutil.rmtree(snap_abs)  # crashed previous attempt; manifest never flipped
+        os.makedirs(snap_abs, exist_ok=True)
+
+        prev = self.manifest() if self.exists() else None
+        buckets: dict[str, str] = dict(prev["frontier_buckets"]) if prev else {}
+        seen_deltas: list[str] = list(prev["seen_deltas"]) if prev else []
+
+        if frontier_changed is not None:
+            fdir = f"{snap}/frontier"
+            (
+                frontier_changed.withColumn(
+                    "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
+                )
+                .repartition(max(1, min(self.n_buckets, 2 * self.spark.sparkContext.defaultParallelism)), "bucket")
+                .sortWithinPartitions("bucket", "url_hash")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(self.path, fdir))
+            )
+            written = {
+                int(d.split("=")[1])
+                for d in os.listdir(os.path.join(self.path, fdir))
+                if d.startswith("bucket=")
+            }
+            targets = set(changed_buckets) if changed_buckets is not None else set(range(self.n_buckets))
+            for b in targets:
+                if b in written:
+                    buckets[str(b)] = f"{fdir}/bucket={b}"
+                else:
+                    buckets.pop(str(b), None)  # bucket became empty
+
+        if seen_delta is not None:
+            sdir = f"{snap}/seen_delta"
+            seen_delta.repartition(1).write.mode("overwrite").parquet(os.path.join(self.path, sdir))
+            seen_deltas.append(sdir)
+
+        if fetched_delta is not None:
+            fetched_delta.repartition(1).write.mode("append").parquet(
+                os.path.join(self.path, "fetched", f"round={round_no}")
+            )
+        if edges_delta is not None:
+            edges_delta.write.mode("append").parquet(
+                os.path.join(self.path, "edges", f"round={round_no}")
+            )
+
+        bloom_file = prev.get("bloom_file") if prev else None
+        if bloom is not None:
+            bloom_file = f"{snap}/bloom.npz"
+            bloom.save(os.path.join(self.path, bloom_file))
+
+        m = {
+            "round": round_no,
+            "snapshot": snap,
+            "frontier_buckets": buckets,
+            "seen_deltas": seen_deltas,
+            "bloom_file": bloom_file,
+            **(meta or {}),
+        }
+        self._write_manifest(m)
+        return m
