@@ -161,8 +161,19 @@ class CrawlEngine:
             bloom.add(dh)
 
         size = new_frontier.count()
+        # re-seeding an existing store commits a same-round snapshot under a
+        # fresh tag so live data dirs are never clobbered
+        tag = ""
+        if self.store.exists():
+            k = 0
+            while True:
+                tag = f"-seed{k}"
+                if not self.store.is_referenced(f"snapshots/r{round_no:06d}{tag}"):
+                    break
+                k += 1
         return self.store.commit(
             round_no,
+            tag=tag,
             frontier_changed=new_frontier,
             changed_buckets=None,  # full rewrite at bootstrap
             seen_delta=denied_rows if self.robots is not None else None,

@@ -102,6 +102,17 @@ class SnapshotStore:
     def _empty_seen(self) -> DataFrame:
         return self.spark.createDataFrame([], "url_hash long, url string, status string")
 
+    def is_referenced(self, snap: str, manifest: dict[str, Any] | None = None) -> bool:
+        """True if the live manifest points into snapshot dir ``snap``."""
+        m = manifest or (self.manifest() if self.exists() else None)
+        if m is None:
+            return False
+        return (
+            any(p.startswith(snap + "/") for p in m["frontier_buckets"].values())
+            or any(p.startswith(snap + "/") for p in m["seen_deltas"])
+            or (m.get("bloom_file") or "").startswith(snap + "/")
+        )
+
     # ------------------------------------------------------------ commit
     def commit(
         self,
@@ -114,21 +125,28 @@ class SnapshotStore:
         edges_delta: DataFrame | None = None,
         bloom: ShardedBloom | None = None,
         meta: dict[str, Any] | None = None,
+        tag: str = "",
     ) -> dict[str, Any]:
         """Write one snapshot.
 
         ``frontier_changed`` holds the *full new contents* of exactly the
         buckets in ``changed_buckets``; every other bucket is carried
         forward by manifest reference. ``changed_buckets=None`` means a
-        full rewrite (bootstrap / compaction).
+        full rewrite (bootstrap / compaction). ``tag`` distinguishes
+        multiple snapshots at the same round number (e.g. re-seeding).
+
+        A pre-existing snapshot directory is a crashed previous attempt
+        (its manifest was never flipped) and is clobbered — unless the
+        *live* manifest references it, which is a caller bug.
         """
-        snap = f"snapshots/r{round_no:06d}"
+        snap = f"snapshots/r{round_no:06d}{tag}"
         snap_abs = os.path.join(self.path, snap)
+        prev = self.manifest() if self.exists() else None
+        if prev is not None and self.is_referenced(snap, prev):
+            raise ValueError(f"refusing to overwrite live snapshot {snap}; pass a tag")
         if os.path.exists(snap_abs):
             shutil.rmtree(snap_abs)  # crashed previous attempt; manifest never flipped
         os.makedirs(snap_abs, exist_ok=True)
-
-        prev = self.manifest() if self.exists() else None
         buckets: dict[str, str] = dict(prev["frontier_buckets"]) if prev else {}
         seen_deltas: list[str] = list(prev["seen_deltas"]) if prev else []
 

@@ -1,0 +1,202 @@
+"""Deduplication operators for web-scale corpora.
+
+Five families, each a declarative DataFrame composition (shuffle-aware; no
+Python UDFs):
+
+* **exact**       — content-hash groupBy; first-id-wins keeper.
+* **MinHash+LSH** — shingle → k-min-hash signature → banded bucket join →
+  candidate pairs verified by true Jaccard. The shuffle is on band keys
+  (small), never on the full pair cross-product.
+* **SimHash**     — per-token 60-bit hashes, bit-vote aggregation into a
+  32-bit fingerprint; near-dups = small Hamming distance.
+* **n-gram Jaccard** — exact pairwise Jaccard via an inverted-index join on
+  shingles (cost ∝ Σ per-shingle df², not |docs|²).
+* **embedding cosine** — see operators/knn.py.
+
+Hash family: md5 of ``shingle || '#' || seed`` — chosen because DuckDB can
+reproduce it verbatim for the correctness oracle; at production scale the
+same structure runs with xxhash64 (flip ``hash_fn``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.functions.text import tokens
+
+__all__ = [
+    "shingles",
+    "minhash_signature",
+    "exact_dedup",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash32",
+]
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), distinct, empty-safe."""
+    toks = tokens(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _md5_seeded(s: Column, seed: int) -> Column:
+    return F.md5(F.concat(s, F.lit(f"#{seed}")))
+
+
+def minhash_signature(sh: Column, k: int = 8) -> Column:
+    """k-wise min-hash signature: element i = min over shingles of
+    md5(shingle || '#i') (string min — md5 hex is uniform, so lexicographic
+    min is a valid min-hash)."""
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s: _md5_seeded(s, i))) for i in range(k)]
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: (content_hash, keeper_id, dup_count)."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a < b), deduplicated across bands.
+
+    Plan shape: signature (narrow) → posexplode into ``bands`` band keys →
+    shuffle on (band_idx, band_hash) → within-bucket self-join. Only bucket
+    contents are ever joined; the full pair space is never materialized.
+    """
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature(shingles(F.col(text_col)), k).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ","))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle (inverted-index
+    join): (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash: per-token 60-bit md5-derived hash; bit b of the
+    fingerprint is the majority vote (strictly more +1 than −1) of token
+    hash bits b. Returns (id, simhash)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).withColumn("h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    sim = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_dist: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by the two
+    16-bit halves (a pair within distance d ≤ 16 shares at least one exact
+    half — pigeonhole), so the join is on half-keys, never all-pairs."""
+    sim = simhash32(df, id_col, text_col)
+    halves = sim.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.col("simhash").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("half_idx", "half"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.half_idx") == F.col("b.half_idx"))
+            & (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming32(F.col("a.simhash"), F.col("b.simhash")).alias("dist"),
+        )
+        .distinct()
+        .filter(F.col("dist") <= max_dist)
+    )

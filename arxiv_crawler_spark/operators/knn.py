@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference analog: FAISS ``IndexFlatIP`` exact top-k (search.py:60-96) and
+the overfetch-then-filter-self pattern (browser/app.py:177-189). Here:
+
+* ``brute_force_topk`` — the exact baseline: broadcast the (small) query
+  side, score per corpus partition with JVM ``zip_with``/``aggregate``
+  expressions (no Python), per-query window top-k. This is the oracle-
+  checkable operator (W6 in SURVEY.md §2.5).
+* ``lsh_topk`` — the scale path: random-hyperplane LSH buckets with
+  multi-probe (Hamming-≤1 buckets). The corpus is scored only inside
+  probed buckets, so cost drops from |Q|·|C| to |Q|·|C|/2^p·(p+1).
+  Recall vs the exact baseline is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "brute_force_topk", "lsh_topk"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos, rank).
+
+    Deterministic rank order: cosine desc, neighbor_id asc. Self-matches are
+    excluded via the reference's overfetch+filter pattern (app.py:177-189)
+    — here simply a predicate before ranking.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float)
+
+
+def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """LSH bucket id = sign bits of projections onto fixed random planes —
+    planes are baked into the plan as array literals (JVM-side dot products,
+    deterministic across runs and executors)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(vec, plane) > 0, F.lit(1 << i).cast("int")).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's bucket or
+    any Hamming-distance-1 bucket (multi-probe)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _bucket_expr(F.col(vec_col), planes).alias("qbucket"),
+    ).withColumn("probe", F.explode(probes))
+    scored = (
+        F.broadcast(q)
+        .join(c, q.probe == c.bucket)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
