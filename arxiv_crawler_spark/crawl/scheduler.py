@@ -484,8 +484,20 @@ class CrawlEngine:
 
     def seen_statuses(self) -> DataFrame:
         """Final URL-seen set: processed ∪ failed ∪ still-queued
-        (crawler.py:57-59)."""
+        (crawler.py:57-59). One row per url: a self-citing paper can be both
+        processed and re-queued (crawler.py:152 checks seen *before* the
+        current paper commits), and a re-processed url appears in two seen
+        deltas — the oracle's state dict collapses those with queued-wins
+        precedence (refcrawler.seen_set), mirrored here."""
         m = self.store.manifest()
-        return self.store.seen(m).select("url", "status").unionByName(
+        rows = self.store.seen(m).select("url", "status").unionByName(
             self.store.frontier(m).select("url", F.lit("queued").alias("status"))
+        )
+        rank = (
+            F.when(F.col("status") == "queued", 2)
+            .when(F.col("status") == "failed", 1)
+            .otherwise(0)
+        )
+        return rows.groupBy("url").agg(
+            F.max(F.struct(rank.alias("r"), F.col("status").alias("s")))["s"].alias("status")
         )

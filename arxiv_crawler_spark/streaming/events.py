@@ -1,0 +1,75 @@
+"""Event-time analytics over the ``events`` stream table — batch form (used
+by the oracle-checked queries) and Structured Streaming form (same
+transformations over ``readStream``, tested for batch/stream equality).
+
+The reference has no event-time processing (SURVEY.md §2.8: its "stream" is
+a synchronous loop), so these are the forward-looking stream operators a
+crawl/training-data pipeline needs: tumbling-window rollups and gap-based
+sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["tumbling_rollup", "sessionize", "streaming_tumbling_rollup"]
+
+
+def tumbling_rollup(events: DataFrame, width: str = "6 hours") -> DataFrame:
+    """Tumbling event-time windows per event_type: count + value sum.
+    Epoch-aligned, identical to DuckDB's time_bucket."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds the gap. Pure window functions
+    (lag → boundary flag → running sum), shuffling once on user_id."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(by_user)
+    with_flag = events.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    )
+    with_session = with_flag.withColumn(
+        "session_idx", F.sum("is_new").over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_session.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        )
+    )
+
+
+def streaming_tumbling_rollup(
+    spark: SparkSession, events_parquet: str, width: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """The same tumbling rollup as a Structured Streaming query over a
+    parquet source with an event-time watermark for late data; caller
+    attaches the sink. Used by tests to assert batch/stream parity."""
+    schema = spark.read.parquet(events_parquet).schema
+    stream = spark.readStream.schema(schema).parquet(events_parquet)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
