@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end slice: a replay-mode crawl over the
+deterministic synthetic TEI world (frontier → wave → fetch-join → Arrow
+extraction → anti-join dedupe → frontier merge → snapshot), returning the
+pop-ordered crawl trace.
+
+``queries()`` / ``oracle_sql()`` — the operator surface of SURVEY.md §2 plus
+the training-data-pipeline operators (dedup / similarity search / text
+analysis / multimodal), checked against DuckDB at sf=0.01.
 """
 
 from __future__ import annotations
@@ -15,24 +18,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: mini crawl (replay mode) on the synthetic world; the
+    sf0.001 tables are also touched so the driver smoke covers the parquet
+    scan path."""
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+
+    # smoke the parquet scan path on the driver tables
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1).collect()
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="entry_crawl_"),
+        pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=True),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+    return eng.trace()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import os
+    import sys
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from arxiv_crawler_spark.plans.analytics import SPARK_QUERIES
+
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from arxiv_crawler_spark.plans.analytics import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -69,6 +69,9 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 20
     broadcast_wave_max: int = 2_000_000  # broadcast fetch join below this wave size
     phase_switch: bool = True  # BFS → citation-greedy at max_papers//2 (crawler.py:243-246)
+    # per-host deferral counters cost a full-frontier groupBy per round —
+    # exact lineage for tests/audits, off for throughput runs
+    collect_host_lineage: bool = False
 
 
 @dataclass
@@ -160,7 +163,16 @@ class CrawlEngine:
             dh = np.array([r[0] for r in denied_rows.select("url_hash").collect()], dtype=np.int64)
             bloom.add(dh)
 
-        size = new_frontier.count()
+        # one agg: per-bucket sizes → manifest bookkeeping (saves a count
+        # job every subsequent round)
+        bucket_col = F.pmod(F.col("url_hash"), F.lit(self.cfg.n_buckets)).cast("int")
+        bucket_sizes = {
+            str(r["b"]): int(r["c"])
+            for r in new_frontier.groupBy(bucket_col.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        size = sum(bucket_sizes.values())
         # re-seeding an existing store commits a same-round snapshot under a
         # fresh tag so live data dirs are never clobbered
         tag = ""
@@ -183,6 +195,7 @@ class CrawlEngine:
                 "failed_count": failed,
                 "total_pops": pops,
                 "frontier_size": size,
+                "bucket_sizes": bucket_sizes,
                 "max_papers": self.cfg.max_papers,
                 "lineage": {"round": round_no, "frontier_size": size},
             },
@@ -224,9 +237,7 @@ class CrawlEngine:
         # 2. fetch = join against pages (S8/S9: the sandbox fetch layer).
         # Broadcast the small wave so the 100 TB pages side never shuffles.
         wave_b = F.broadcast(wave) if waved <= self.cfg.broadcast_wave_max else wave
-        fetch = wave_b.join(
-            self.pages.select("url", "html"), "url", "left"
-        )
+        fetch = wave_b.join(self.pages.select("url", "html"), "url", "left")
 
         # 3. extract (U1, Arrow-batched) and join status back onto the wave
         ext = extract_pages(fetch.filter(F.col("html").isNotNull()))
@@ -239,6 +250,10 @@ class CrawlEngine:
             .withColumn("round", F.lit(round_no))
             .withColumn("phase", F.lit(phase))
             .withColumn("global_order", F.lit(total_pops) + F.col("pop_rank") - 1)
+            .withColumn(
+                "num_arxiv_citations",
+                F.size(F.filter(F.coalesce(F.col("citations"), F.array()), lambda c: c["arxiv_id"].isNotNull())),
+            )
             .withColumnRenamed("count", "count_at_pop")
             .cache()
         )
@@ -271,15 +286,12 @@ class CrawlEngine:
             .withColumn("host", host_of(F.col("url")))
             .withColumn("url_hash", self._hash(F.col("url")))
             .select("url_hash", "url", "host", "pop_rank", "bib_index", "citing_depth")
-            .cache()
         )
-        n_links = links.count()
-
         links_ok, links_denied = pol.split_robots_denied(links, self.robots)
 
         # 6. seen-set dedupe (J1): Bloom pre-filter, then exact anti-join
         bloom = self.store.bloom(m) if self.cfg.use_bloom else None
-        if bloom is not None and n_links > 0:
+        if bloom is not None:
             maybe_seen = self._bloom_filter_links(links_ok, bloom, True)
             surely_new = self._bloom_filter_links(links_ok, bloom, False)
             checked = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")
@@ -305,27 +317,101 @@ class CrawlEngine:
             F.col("first.citing_depth").alias("first_depth"),
         ).cache()
 
-        # 8. COW frontier merge over changed buckets only
-        changed = sorted(
-            {int(h) % self.cfg.n_buckets for h in self._collect_hash_buckets(wave, disc)}
-        )
+        # --- driver-side accounting, few jobs, all on cached inputs ------
         bucket_col = F.pmod(F.col("url_hash"), F.lit(self.cfg.n_buckets)).cast("int")
-        frontier_changed_old = frontier.filter(bucket_col.isin(changed)) if changed else frontier.limit(0)
+
+        # one stats pass over the cached wave results (runs extraction once)
+        stats = fetched.agg(
+            F.sum(F.when(F.col("status") == "processed", 1).otherwise(0)).alias("p"),
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("f"),
+            F.coalesce(F.sum("num_arxiv_citations"), F.lit(0)).alias("links"),
+        ).collect()[0]
+        n_links = int(stats["links"])
+
+        # one small agg on disc: per-bucket occurrence sums → changed buckets
+        disc_buckets = {
+            int(r["b"]): (int(r["occ"]), int(r["keys"]))
+            for r in disc.groupBy(bucket_col.alias("b"))
+            .agg(F.sum("occ").alias("occ"), F.count(F.lit(1)).alias("keys"))
+            .collect()
+        }
+        n_new = sum(o for o, _ in disc_buckets.values())
+
+        # wave hashes: reused for bloom update and changed-bucket set
+        wave_hashes = np.array(
+            [r[0] for r in wave.select("url_hash").collect()], dtype=np.int64
+        )
+        changed = sorted(
+            set(disc_buckets) | {int(h) % self.cfg.n_buckets for h in wave_hashes.tolist()}
+        )
+
+        # 8. COW frontier merge over changed buckets only
+        frontier_changed_old = (
+            frontier.filter(bucket_col.isin(changed)) if changed else frontier.limit(0)
+        )
         new_frontier_part = merge_frontier(
             frontier_changed_old, wave.select("url_hash"), disc, round_no
         ).cache()
+        per_bucket = {
+            str(r["b"]): int(r["c"])
+            for r in new_frontier_part.groupBy(bucket_col.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
 
-        # 9. seen delta + dedupe/lineage counters
-        denied_new = (
-            links_denied.select("url_hash", "url")
-            .distinct()
-            .join(seen.select("url_hash"), "url_hash", "left_anti")
-            .join(wave.select("url_hash"), "url_hash", "left_anti")
-            .withColumn("status", F.lit("robots_denied"))
+        # exact frontier size from manifest bucket bookkeeping — no extra job
+        bucket_sizes = dict(m.get("bucket_sizes") or {})
+        old_changed_count = sum(int(bucket_sizes.get(str(b), 0)) for b in changed)
+        for b in changed:
+            if str(b) in per_bucket:
+                bucket_sizes[str(b)] = per_bucket[str(b)]
+            else:
+                bucket_sizes.pop(str(b), None)
+        new_size = m["frontier_size"] - old_changed_count + sum(
+            per_bucket.get(str(b), 0) for b in changed
         )
-        seen_delta = wave.select(
-            "url_hash", "url"
-        ).join(fetched.select("url_hash", "status"), "url_hash").unionByName(denied_new)
+
+        # 9. seen delta (+ robots-denied links, only when robots exist)
+        n_denied = 0
+        seen_delta = wave.select("url_hash", "url").join(
+            fetched.select("url_hash", "status"), "url_hash"
+        )
+        denied_hashes = np.empty(0, dtype=np.int64)
+        if self.robots is not None:
+            denied_new = (
+                links_denied.select("url_hash", "url")
+                .distinct()
+                .join(seen.select("url_hash"), "url_hash", "left_anti")
+                .join(wave.select("url_hash"), "url_hash", "left_anti")
+                .withColumn("status", F.lit("robots_denied"))
+                .cache()
+            )
+            denied_hashes = np.array(
+                [r[0] for r in denied_new.select("url_hash").collect()], dtype=np.int64
+            )
+            n_denied = len(denied_hashes)
+            seen_delta = seen_delta.unionByName(denied_new)
+
+        # occurrences not newly queued (already seen, in-wave, or denied)
+        deduped = int(n_links - n_new)
+
+        # politeness deferral lineage (exact, optional — full-frontier agg)
+        deferred = 0
+        lineage_hosts: dict[str, int] = {}
+        if self.cfg.collect_host_lineage and self.cfg.mode != "replay":
+            fh = frontier.groupBy("host").count()
+            wh = wave.groupBy("host").agg(F.count(F.lit(1)).alias("got"))
+            for r in fh.join(wh, "host", "left").fillna(0, ["got"]).collect():
+                d = int(r["count"] - r["got"])
+                if d > 0:
+                    lineage_hosts[r["host"]] = d
+                    deferred += d
+
+        # bloom gains everything newly seen this round
+        if bloom is not None:
+            bloom.add(wave_hashes)
+            if n_denied:
+                bloom.add(denied_hashes)
 
         fetched_out = fetched.select(
             "url_hash",
@@ -339,52 +425,12 @@ class CrawlEngine:
             "phase",
             "status",
             "num_citations",
+            "num_arxiv_citations",
             "extracted_text",
         )
 
-        # materialize counters
-        stats = fetched.agg(
-            F.sum(F.when(F.col("status") == "processed", 1).otherwise(0)).alias("p"),
-            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("f"),
-        ).collect()[0]
-        n_new = disc.agg(F.coalesce(F.sum("occ"), F.lit(0))).collect()[0][0]
-        n_denied = denied_new.count()
-        # occurrences not newly queued (already seen, in-wave, or robots-denied)
-        deduped = int(n_links - n_new)
-
-        # politeness deferral: candidates beyond budget, per host
-        deferred = 0
-        lineage_hosts: dict[str, int] = {}
-        if self.cfg.mode != "replay":
-            fh = frontier.groupBy("host").count()
-            wh = wave.groupBy("host").agg(F.count(F.lit(1)).alias("got"))
-            rows = fh.join(wh, "host", "left").fillna(0, ["got"]).collect()
-            for r in rows:
-                d = int(r["count"] - r["got"])
-                if d > 0:
-                    lineage_hosts[r["host"]] = d
-                    deferred += d
-
-        # update bloom with everything newly seen
-        if bloom is not None:
-            new_seen_h = np.array(
-                [r[0] for r in seen_delta.select("url_hash").collect()], dtype=np.int64
-            )
-            bloom.add(new_seen_h)
-
         new_processed = processed_count + int(stats["p"])
         new_failed = failed_count + int(stats["f"])
-
-        per_bucket = {
-            str(r["b"]): int(r["c"])
-            for r in new_frontier_part.groupBy(bucket_col.alias("b")).agg(
-                F.count(F.lit(1)).alias("c")
-            ).collect()
-        }
-        # exact frontier size: unchanged buckets keep their rows; changed
-        # buckets are replaced wholesale by the merged partition
-        old_changed_count = frontier_changed_old.count()
-        new_size = m["frontier_size"] - old_changed_count + sum(per_bucket.values())
         lineage = {
             "round": round_no,
             "phase": phase,
@@ -392,10 +438,10 @@ class CrawlEngine:
             "fetched": int(waved),
             "processed": int(stats["p"]),
             "failed": int(stats["f"]),
-            "links": int(n_links),
-            "deduped": int(deduped),
-            "robots_denied": int(n_denied),
-            "politeness_deferred": int(deferred),
+            "links": n_links,
+            "deduped": deduped,
+            "robots_denied": n_denied,
+            "politeness_deferred": deferred,
             "politeness_deferred_by_host": lineage_hosts,
             "frontier_changed_buckets": {str(b): per_bucket.get(str(b), 0) for b in changed},
         }
@@ -413,11 +459,12 @@ class CrawlEngine:
                 "failed_count": new_failed,
                 "total_pops": total_pops + waved,
                 "frontier_size": new_size,
+                "bucket_sizes": bucket_sizes,
                 "max_papers": self.cfg.max_papers,
                 "lineage": lineage,
             },
         )
-        for df in (wave, fetched, links, disc, new_frontier_part):
+        for df in (wave, fetched, disc, new_frontier_part):
             df.unpersist()
         return RoundResult(
             round_no,
@@ -426,23 +473,14 @@ class CrawlEngine:
             int(stats["p"]),
             int(stats["f"]),
             int(n_new),
-            int(deduped),
-            int(n_denied),
-            int(deferred),
+            deduped,
+            n_denied,
+            deferred,
             int(new_size),
             time.monotonic() - t0,
             lineage,
         )
 
-    def _collect_hash_buckets(self, wave: DataFrame, disc: DataFrame) -> list[int]:
-        rows = (
-            wave.select("url_hash")
-            .unionByName(disc.select("url_hash"))
-            .select(F.pmod(F.col("url_hash"), F.lit(self.cfg.n_buckets)).cast("int").alias("b"))
-            .distinct()
-            .collect()
-        )
-        return [r["b"] for r in rows]
 
     def _bloom_filter_links(self, links: DataFrame, bloom: ShardedBloom, keep_hits: bool) -> DataFrame:
         """mapInPandas membership test against the sharded Bloom bitmaps

@@ -42,10 +42,20 @@ MANIFEST = "manifest.json"
 
 
 class SnapshotStore:
-    def __init__(self, path: str, spark: SparkSession, n_buckets: int = 32):
+    def __init__(
+        self,
+        path: str,
+        spark: SparkSession,
+        n_buckets: int = 32,
+        compact_seen_after: int = 48,
+    ):
         self.path = path
         self.spark = spark
         self.n_buckets = n_buckets
+        # the seen log is a delta chain, one dir per round; past this many
+        # deltas a commit folds them into a single hash-sorted dir so the
+        # anti-join probe scan stays O(1) directories (Iceberg compaction)
+        self.compact_seen_after = compact_seen_after
         os.makedirs(path, exist_ok=True)
 
     # ---------------------------------------------------------------- io
@@ -178,6 +188,17 @@ class SnapshotStore:
             sdir = f"{snap}/seen_delta"
             seen_delta.repartition(1).write.mode("overwrite").parquet(os.path.join(self.path, sdir))
             seen_deltas.append(sdir)
+        if len(seen_deltas) > self.compact_seen_after:
+            cdir = f"{snap}/seen_compacted"
+            paths = [os.path.join(self.path, d) for d in seen_deltas]
+            (
+                self.spark.read.parquet(*paths)
+                .repartition(max(1, self.n_buckets // 4), "url_hash")
+                .sortWithinPartitions("url_hash")
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.path, cdir))
+            )
+            seen_deltas = [cdir]
 
         if fetched_delta is not None:
             fetched_delta.repartition(1).write.mode("append").parquet(

@@ -86,24 +86,28 @@ def lsh_candidate_pairs(
     sig = df.select(
         F.col(id_col).alias("id"), minhash_signature(shingles(F.col(text_col)), k).alias("sig")
     )
+    # band index is baked into the band hash so buckets join on one key
     banded = sig.select(
         "id",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
-                    F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ","))
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{b}:"),
+                            F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ","),
+                        )
+                    )
                     for b in range(bands)
                 ]
             )
-        ).alias("band_idx", "band_hash"),
+        ).alias("band_hash"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.band_hash") == F.col("b.band_hash")) & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

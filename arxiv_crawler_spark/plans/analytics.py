@@ -1,0 +1,822 @@
+"""The oracle-checked query surface (SURVEY.md §2 operator inventory).
+
+Each entry pairs an idiomatic-Spark DataFrame implementation with the
+equivalent ANSI SQL DuckDB runs on the same parquet tables
+(``__spark_entry__.queries()`` / ``oracle_sql()``). Column names and float
+rounding are aligned on both sides — the driver compares row counts, schema
+and order-insensitive value hashes.
+
+Operator-inventory coverage is noted per query as (SURVEY.md §2 ids).
+Queries named ``x_*`` have no SQL oracle (non-SQL-expressible: crawl loop,
+Bloom, LSH-ANN, media UDFs) and get the driver's rows-only check; their
+real verification lives in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.functions import text as TX
+from arxiv_crawler_spark.functions.hashing import md5_hash64
+from arxiv_crawler_spark.functions.urls import canonicalize_url, host_of
+from arxiv_crawler_spark.operators import dedup as DD
+from arxiv_crawler_spark.operators import knn as KNN
+from arxiv_crawler_spark.streaming import events as EV
+
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "load"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# synthetic derivations shared by crawl-shaped queries (deterministic from
+# doc_id so the oracle can reproduce them in SQL)
+# --------------------------------------------------------------------------
+
+def _synth_edges(docs: DataFrame) -> DataFrame:
+    """Citation-ish edges: doc i cites (i*7+k) % 500 for k=1..3, depth=i%5."""
+    return docs.select(
+        F.col("doc_id").alias("citer"),
+        (F.col("doc_id") % 5).cast("int").alias("depth"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("k"),
+    ).withColumn("cited", (F.col("citer") * 7 + F.col("k")) % 500)
+
+
+_SQL_EDGES = (
+    "(select doc_id as citer, cast(doc_id % 5 as int) as depth, k, "
+    "(doc_id * 7 + k) % 500 as cited "
+    "from documents, unnest(generate_series(1, 3)) as u(k))"
+)
+
+
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """Noisy URLs exercising every canonicalization rule."""
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("HTTPS://Host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM:443/Doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?b=2&a=1#frag"),
+        ).alias("raw_url"),
+    )
+
+
+_SQL_URLS = (
+    "(select doc_id, n_chars, 'HTTPS://Host' || (doc_id % 7) || "
+    "'.Example.COM:443/Doc/' || doc_id || '/?b=2&a=1#frag' as raw_url from documents)"
+)
+
+
+# --------------------------------------------------------------------------
+# queries — q: oracle-checked, x: rows-only
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):  # A1 A6 F5 (TPC-H Q1 shape)
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_Q01 = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(avg(l_quantity), 4) as avg_qty,
+       count(*) as count_order
+from lineitem group by 1, 2
+"""
+
+
+def q02_topk_orders(spark, sf):  # W3 W5
+    return (
+        load(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_SQL_Q02 = """
+select o_orderkey, o_custkey, round(o_totalprice, 2) as total
+from orders order by o_totalprice desc, o_orderkey asc limit 20
+"""
+
+
+def q03_join_enrich(spark, sf):  # J2
+    c, n = load(spark, sf, "customer"), load(spark, sf, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+_SQL_Q03 = """
+select n_name, count(*) as n_customers, round(sum(c_acctbal), 2) as total_acctbal
+from customer left join nation on c_nationkey = n_nationkey group by 1
+"""
+
+
+def q04_broadcast_join(spark, sf):  # J6
+    li, p = load(spark, sf, "lineitem"), load(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_SQL_Q04 = """
+select p_brand, round(sum(l_quantity), 2) as sum_qty, count(*) as n_lines
+from lineitem join part on l_partkey = p_partkey group by 1
+"""
+
+
+def q05_anti_join(spark, sf):  # P4 J1
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey").orderBy("c_custkey")
+
+
+_SQL_Q05 = """
+select c_custkey from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
+order by c_custkey
+"""
+
+
+def q06_semi_join(spark, sf):  # P3 J3
+    p, li = load(spark, sf, "part"), load(spark, sf, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_active_parts"))
+    )
+
+
+_SQL_Q06 = """
+select p_type, count(*) as n_active_parts from part
+where exists (select 1 from lineitem where l_partkey = p_partkey)
+group by 1
+"""
+
+
+def q07_window_topk_per_group(spark, sf):  # W1 W7
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_SQL_Q07 = """
+select o_custkey, o_orderkey, rank, round(o_totalprice, 2) as total from (
+  select o_custkey, o_orderkey, o_totalprice,
+         row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rank
+  from orders) t where rank <= 3
+"""
+
+
+def q08_union_dedup(spark, sf):  # T1 T2
+    c = load(spark, sf, "customer").select(F.col("c_custkey").alias("id"), F.lit(0).alias("src_rank"))
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("id"), F.lit(1).alias("src_rank"))
+    return (
+        c.unionByName(o)
+        .groupBy("id")
+        .agg(F.min("src_rank").alias("first_src"))
+        .groupBy("first_src")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+    )
+
+
+_SQL_Q08 = """
+select first_src, count(*) as n_ids from (
+  select id, min(src_rank) as first_src from (
+    select c_custkey as id, 0 as src_rank from customer
+    union all select o_custkey as id, 1 as src_rank from orders) u
+  group by id) g group by 1
+"""
+
+
+def q09_distinct(spark, sf):  # A5
+    return load(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+_SQL_Q09 = "select distinct l_returnflag, l_linestatus from lineitem"
+
+
+def q10_stats_profile(spark, sf):  # A6
+    li = load(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("p05"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+_SQL_Q10 = """
+select count(*) as n,
+       round(avg(l_extendedprice), 4) as mean_price,
+       round(stddev_samp(l_extendedprice), 4) as std_price,
+       round(min(l_extendedprice), 4) as min_price,
+       round(max(l_extendedprice), 4) as max_price,
+       round(quantile_cont(l_extendedprice, 0.05), 4) as p05,
+       round(quantile_cont(l_extendedprice, 0.5), 4) as p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) as p95
+from lineitem
+"""
+
+
+def q11_events_rollup(spark, sf):  # A2 A4 (frontier-count accumulation shape)
+    ev = load(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_seen"),
+    )
+
+
+_SQL_Q11 = """
+select user_id, count(*) as n_events, round(sum(value), 2) as sum_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as first_seen
+from events group by 1
+"""
+
+
+def q12_explode_tokens(spark, sf):  # F8 A1
+    d = load(spark, sf, "documents")
+    return (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(10)
+        .withColumnRenamed("count", "n")
+        .select("token", "n")
+    )
+
+
+_SQL_Q12 = """
+select token, count(*) as n from (
+  select unnest(string_split(text, ' ')) as token from documents) t
+where token <> '' group by token order by n desc, token asc limit 10
+"""
+
+
+def q13_regex_extract(spark, sf):  # F2
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        TX.regex_token_count(F.col("text")).cast("long").alias("regex_tokens"),
+    )
+
+
+_SQL_Q13 = r"""
+select doc_id, regexp_extract(text, '^(\w+)', 1) as first_word,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) as regex_tokens
+from documents
+"""
+
+
+def q14_date_parts(spark, sf):  # F5
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"), F.month("o_orderdate").cast("long").alias("m")
+        ).agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+_SQL_Q14 = """
+select year(o_orderdate) as y, month(o_orderdate) as m,
+       count(*) as n_orders, round(sum(o_totalprice), 2) as revenue
+from orders group by 1, 2
+"""
+
+
+def q15_search(spark, sf):  # P6 F10
+    d = load(spark, sf, "documents")
+    return (
+        d.filter(F.lower(F.col("text")).contains("spark") & (F.col("lang") == "en"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_Q15 = """
+select doc_id from documents
+where contains(lower(text), 'spark') and lang = 'en' order by doc_id
+"""
+
+
+def q16_concat_sep(spark, sf):  # F6 P8
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("[SEP]", F.coalesce(F.col("c_name"), F.lit("")), F.col("c_mktsegment")).alias("ctx"),
+    )
+
+
+_SQL_Q16 = """
+select c_custkey, coalesce(c_name, '') || '[SEP]' || c_mktsegment as ctx from customer
+"""
+
+
+def q17_hash64(spark, sf):  # F7
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.md5("text").alias("content_md5"), md5_hash64(F.col("text")).alias("hash64")
+    )
+
+
+_SQL_Q17 = """
+select doc_id, md5(text) as content_md5,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT as hash64
+from documents
+"""
+
+
+def q18_url_canonicalize(spark, sf):  # F1
+    u = _synth_urls(load(spark, sf, "documents"))
+    return u.select(
+        "doc_id",
+        canonicalize_url(F.col("raw_url")).alias("canon_url"),
+        host_of(F.col("raw_url")).alias("host"),
+    )
+
+
+_SQL_Q18 = f"""
+select doc_id,
+       'https://host' || (doc_id % 7) || '.example.com/Doc/' || doc_id || '?a=1&b=2' as canon_url,
+       'host' || (doc_id % 7) || '.example.com' as host
+from {_SQL_URLS} t
+"""
+
+
+def q19_frontier_merge(spark, sf):  # A2 X3 (discovery aggregation shape)
+    e = _synth_edges(load(spark, sf, "documents"))
+    return e.groupBy("cited").agg(
+        F.count(F.lit(1)).alias("occ"),
+        (F.min("depth") + 1).cast("int").alias("first_depth"),
+    )
+
+
+_SQL_Q19 = f"""
+select cited, count(*) as occ, cast(min(depth) + 1 as int) as first_depth
+from {_SQL_EDGES} e group by 1
+"""
+
+
+def q20_host_wave_rank(spark, sf):  # W1 X6 (per-host budget window)
+    u = _synth_urls(load(spark, sf, "documents"))
+    host = F.concat(F.lit("host"), (F.col("doc_id") % 7).cast("string"))
+    w = Window.partitionBy("host").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        u.withColumn("host", host)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("host", "doc_id", "rank")
+    )
+
+
+_SQL_Q20 = """
+select host, doc_id, rank from (
+  select 'host' || (doc_id % 7) as host, doc_id,
+         row_number() over (partition by (doc_id % 7) order by n_chars desc, doc_id asc) as rank
+  from documents) t where rank <= 3
+"""
+
+
+def q21_politeness_deferred(spark, sf):  # X6 A4
+    d = load(spark, sf, "documents")
+    return (
+        d.groupBy((F.col("doc_id") % 7).cast("long").alias("host_id"))
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .select(
+            "host_id",
+            "n_urls",
+            F.greatest(F.lit(0).cast("long"), F.col("n_urls") - 3).alias("deferred"),
+        )
+    )
+
+
+_SQL_Q21 = """
+select doc_id % 7 as host_id, count(*) as n_urls,
+       greatest(0, count(*) - 3) as deferred
+from documents group by 1
+"""
+
+
+def q22_seen_dedupe(spark, sf):  # J1 P4 (anti-join dedupe shape)
+    e = _synth_edges(load(spark, sf, "documents"))
+    seen = load(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("cited")
+    )
+    return (
+        e.join(seen, "cited", "left_anti")
+        .groupBy("cited")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .orderBy("cited")
+    )
+
+
+_SQL_Q22 = f"""
+select cited, count(*) as occ from {_SQL_EDGES} e
+where not exists (select 1 from documents d where d.doc_id % 3 = 0 and d.doc_id = e.cited)
+group by 1 order by 1
+"""
+
+
+def q23_dedup_exact(spark, sf):  # dedup-exact
+    return DD.exact_dedup(load(spark, sf, "documents"))
+
+
+_SQL_Q23 = """
+select md5(text) as content_hash, min(doc_id) as keeper_id, count(*) as dup_count
+from documents group by 1
+"""
+
+
+def _sql_shingles(n: int = 3) -> str:
+    """DuckDB expression for distinct word n-gram shingles of ``text``."""
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')))"
+    )
+
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def q24_minhash_lsh(spark, sf):  # dedup-minhash-lsh
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return DD.lsh_candidate_pairs(d, k=8, bands=4)
+
+
+def _sql_q24() -> str:
+    sig = ", ".join(
+        "list_aggregate(list_transform(sh, s -> md5(s || '#%d')), 'min')" % i for i in range(8)
+    )
+    bands = ", ".join(
+        f"md5('{b}:' || sig[{b * 2 + 1}] || ',' || sig[{b * 2 + 2}])" for b in range(4)
+    )
+    return f"""
+with toks_t as (
+  select doc_id as id, {_SQL_TOKS} as toks from documents where doc_id < 200),
+sh_t as (select id, {_sql_shingles(3)} as sh from toks_t),
+sig_t as (select id, [{sig}] as sig from sh_t),
+band_t as (select id, unnest([{bands}]) as band_hash from sig_t)
+select distinct a.id as id_a, b.id as id_b
+from band_t a join band_t b
+  on a.band_hash = b.band_hash and a.id < b.id
+"""
+
+
+def q25_jaccard_pairs(spark, sf):  # dedup-ngram-jaccard
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return DD.jaccard_pairs(d, threshold=0.12)
+
+
+_SQL_Q25 = f"""
+with toks_t as (
+  select doc_id as id, {_SQL_TOKS} as toks from documents where doc_id < 150),
+sh_t as (select id, {_sql_shingles(3)} as sh from toks_t),
+sizes as (select id, len(sh) as n_sh from sh_t),
+inv as (select id, unnest(sh) as g from sh_t),
+common as (
+  select a.id as id_a, b.id as id_b, count(*) as common
+  from inv a join inv b on a.g = b.g and a.id < b.id group by 1, 2)
+select id_a, id_b,
+       round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) as jaccard
+from common
+join sizes sa on sa.id = common.id_a
+join sizes sb on sb.id = common.id_b
+where common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.12
+"""
+
+
+def q26_simhash(spark, sf):  # dedup-simhash
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return DD.simhash32(d)
+
+
+def _sql_q26() -> str:
+    votes = ", ".join(f"sum(((h >> {b}) & 1) * 2 - 1) as v{b}" for b in range(32))
+    sim = " + ".join(f"case when v{b} > 0 then {1 << b}::BIGINT else 0 end" for b in range(32))
+    return f"""
+with tok as (
+  select doc_id as id, unnest({_SQL_TOKS}) as t from documents where doc_id < 300),
+hashed as (select id, ('0x' || substr(md5(t), 1, 15))::BIGINT as h from tok),
+votes as (select id, {votes} from hashed group by id)
+select id, ({sim}) as simhash from votes
+"""
+
+
+def q27_knn_cosine(spark, sf):  # W6 similarity-search
+    emb = load(spark, sf, "embeddings")
+    out = KNN.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("long").alias("rank"))
+
+
+_SQL_Q27 = """
+with scored as (
+  select q.vec_id as query_id, c.vec_id as neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.embedding)),
+                  i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) as cos
+  from embeddings q cross join embeddings c
+  where q.vec_id < 10 and q.vec_id <> c.vec_id),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored)
+select query_id, neighbor_id, round(cos, 6) as cos, rank from ranked where rank <= 5
+"""
+
+
+def q28_text_quality(spark, sf):  # text-quality scoring
+    d = load(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        F.round(TX.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.mean_word_len(t), 6).alias("mean_word_len"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+    )
+
+
+_SQL_Q28 = """
+with t as (
+  select doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') as toks,
+         len(text) as nc from documents),
+m as (
+  select doc_id, text, toks, nc, len(toks) as nt,
+         (len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+        + len(list_filter(toks, x -> x = 'of')) + len(list_filter(toks, x -> x = 'and'))
+        + len(list_filter(toks, x -> x = 'to')) + len(list_filter(toks, x -> x = 'in'))) as stops,
+         nc - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) as punct,
+         len(replace(text, ' ', '')) as chars_nospace
+  from t)
+select doc_id, nt::BIGINT as n_tokens,
+       round(case when nt > 0 then stops::DOUBLE / nt else 0.0 end, 6) as stop_ratio,
+       round(case when nc > 0 then punct::DOUBLE / nc else 0.0 end, 6) as punct_ratio,
+       round(case when nt > 0 then chars_nospace::DOUBLE / nt else 0.0 end, 6) as mean_word_len,
+       round(least(1.0, (case when nt > 0 then stops::DOUBLE / nt else 0.0 end) * 5.0) * 0.4
+           + least(1.0, nt::DOUBLE / 100.0) * 0.3
+           + (1.0 - (case when nc > 0 then punct::DOUBLE / nc else 0.0 end)) * 0.3, 6) as quality
+from m
+"""
+
+
+def q29_lang_guess(spark, sf):  # text-language-id
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_pred"))
+
+
+_SQL_Q29 = """
+with t as (
+  select doc_id, list_filter(string_split(text, ' '), t -> t <> '') as toks from documents),
+m as (
+  select doc_id, len(toks) as nt,
+         (len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+        + len(list_filter(toks, x -> x = 'of')) + len(list_filter(toks, x -> x = 'and'))
+        + len(list_filter(toks, x -> x = 'to')) + len(list_filter(toks, x -> x = 'in'))) as stops
+  from t)
+select doc_id,
+       case when (case when nt > 0 then stops::DOUBLE / nt else 0.0 end) >= 0.08
+            then 'en' else 'other' end as lang_pred
+from m
+"""
+
+
+def q30_fingerprint(spark, sf):  # text-fingerprint
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+_SQL_Q30 = """
+select doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) as fp
+from documents
+"""
+
+
+def q31_sessionize(spark, sf):  # stateful sessionization
+    return EV.sessionize(load(spark, sf, "events"))
+
+
+_SQL_Q31 = """
+with flagged as (
+  select user_id, event_id, ts, value,
+         case when lag(ts) over w is null
+              or epoch(ts) - epoch(lag(ts) over w) > 1800 then 1 else 0 end as is_new
+  from events window w as (partition by user_id order by ts, event_id)),
+sess as (
+  select user_id, ts, value,
+         (sum(is_new) over (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row))::BIGINT as session_idx
+  from flagged)
+select user_id, session_idx, count(*) as n_events, round(sum(value), 2) as sum_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') as session_end
+from sess group by 1, 2
+"""
+
+
+def q32_tumbling_window(spark, sf):  # event-time window agg
+    return EV.tumbling_rollup(load(spark, sf, "events"), "6 hours")
+
+
+_SQL_Q32 = """
+select strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') as bucket_start,
+       event_type, count(*) as n_events, round(sum(value), 2) as sum_value
+from events group by 1, 2
+"""
+
+
+def q33_times_cited(spark, sf):  # J2 A1 W3 (times-cited analytics)
+    docs = load(spark, sf, "documents")
+    e = _synth_edges(docs)
+    counts = e.groupBy("cited").agg(F.count(F.lit(1)).alias("n_cites"))
+    return (
+        counts.join(docs, counts.cited == docs.doc_id, "inner")
+        .orderBy(F.desc("n_cites"), F.asc("cited"))
+        .limit(20)
+        .select("cited", "n_cites", "n_chars")
+    )
+
+
+_SQL_Q33 = f"""
+select cited, n_cites, n_chars from (
+  select cited, count(*) as n_cites from {_SQL_EDGES} e group by 1) c
+join documents d on d.doc_id = c.cited
+order by n_cites desc, cited asc limit 20
+"""
+
+
+def q34_cited_by(spark, sf):  # J7 (reverse-edge index)
+    e = _synth_edges(load(spark, sf, "documents"))
+    return e.groupBy("cited").agg(
+        F.array_join(F.array_sort(F.collect_set(F.col("citer").cast("string"))), ",").alias("citers")
+    )
+
+
+_SQL_Q34 = f"""
+select cited, array_to_string(list_sort(list_distinct(list(citer::VARCHAR))), ',') as citers
+from {_SQL_EDGES} e group by 1
+"""
+
+
+# ------------------------- rows-only (non-SQL-expressible) -----------------
+
+def x50_crawl_replay(spark, sf):
+    """Mini end-to-end crawl (replay mode) on the synthetic TEI world —
+    exact-trace verification lives in tests/test_crawl_replay.py."""
+    import tempfile
+
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="xq_crawl_"),
+        pages,
+        CrawlConfig(mode="replay", max_papers=5, n_buckets=8, use_bloom=True),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+    return eng.trace()
+
+
+def x51_extract_tei(spark, sf):
+    """TEI extraction operator (byte-parity tested in tests/test_extraction)."""
+    from arxiv_crawler_spark.extraction.tei import extract_pages
+    from arxiv_crawler_spark.fixtures import gen_world, spark_pages
+
+    pages = spark_pages(spark, gen_world(n_docs=20, seed=42))
+    return extract_pages(pages).select("url", "ok", "num_citations", "extracted_text")
+
+
+def x52_knn_lsh(spark, sf):
+    """Approximate ANN (recall-vs-exact asserted in tests/test_operators)."""
+    emb = load(spark, sf, "embeddings")
+    return KNN.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def x53_media_features(spark, sf):
+    """Multimodal plumbing: synthetic media → Arrow feature extraction."""
+    from arxiv_crawler_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=48), dim=8)
+
+
+def x54_simhash_near_pairs(spark, sf):
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return DD.simhash_near_pairs(d, max_dist=8)
+
+
+SPARK_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_topk_orders": q02_topk_orders,
+    "q03_join_enrich": q03_join_enrich,
+    "q04_broadcast_join": q04_broadcast_join,
+    "q05_anti_join": q05_anti_join,
+    "q06_semi_join": q06_semi_join,
+    "q07_window_topk_per_group": q07_window_topk_per_group,
+    "q08_union_dedup": q08_union_dedup,
+    "q09_distinct": q09_distinct,
+    "q10_stats_profile": q10_stats_profile,
+    "q11_events_rollup": q11_events_rollup,
+    "q12_explode_tokens": q12_explode_tokens,
+    "q13_regex_extract": q13_regex_extract,
+    "q14_date_parts": q14_date_parts,
+    "q15_search": q15_search,
+    "q16_concat_sep": q16_concat_sep,
+    "q17_hash64": q17_hash64,
+    "q18_url_canonicalize": q18_url_canonicalize,
+    "q19_frontier_merge": q19_frontier_merge,
+    "q20_host_wave_rank": q20_host_wave_rank,
+    "q21_politeness_deferred": q21_politeness_deferred,
+    "q22_seen_dedupe": q22_seen_dedupe,
+    "q23_dedup_exact": q23_dedup_exact,
+    "q24_minhash_lsh": q24_minhash_lsh,
+    "q25_jaccard_pairs": q25_jaccard_pairs,
+    "q26_simhash": q26_simhash,
+    "q27_knn_cosine": q27_knn_cosine,
+    "q28_text_quality": q28_text_quality,
+    "q29_lang_guess": q29_lang_guess,
+    "q30_fingerprint": q30_fingerprint,
+    "q31_sessionize": q31_sessionize,
+    "q32_tumbling_window": q32_tumbling_window,
+    "q33_times_cited": q33_times_cited,
+    "q34_cited_by": q34_cited_by,
+    "x50_crawl_replay": x50_crawl_replay,
+    "x51_extract_tei": x51_extract_tei,
+    "x52_knn_lsh": x52_knn_lsh,
+    "x53_media_features": x53_media_features,
+    "x54_simhash_near_pairs": x54_simhash_near_pairs,
+}
+
+ORACLE_SQL = {
+    "q01_pricing_summary": _SQL_Q01,
+    "q02_topk_orders": _SQL_Q02,
+    "q03_join_enrich": _SQL_Q03,
+    "q04_broadcast_join": _SQL_Q04,
+    "q05_anti_join": _SQL_Q05,
+    "q06_semi_join": _SQL_Q06,
+    "q07_window_topk_per_group": _SQL_Q07,
+    "q08_union_dedup": _SQL_Q08,
+    "q09_distinct": _SQL_Q09,
+    "q10_stats_profile": _SQL_Q10,
+    "q11_events_rollup": _SQL_Q11,
+    "q12_explode_tokens": _SQL_Q12,
+    "q13_regex_extract": _SQL_Q13,
+    "q14_date_parts": _SQL_Q14,
+    "q15_search": _SQL_Q15,
+    "q16_concat_sep": _SQL_Q16,
+    "q17_hash64": _SQL_Q17,
+    "q18_url_canonicalize": _SQL_Q18,
+    "q19_frontier_merge": _SQL_Q19,
+    "q20_host_wave_rank": _SQL_Q20,
+    "q21_politeness_deferred": _SQL_Q21,
+    "q22_seen_dedupe": _SQL_Q22,
+    "q23_dedup_exact": _SQL_Q23,
+    "q24_minhash_lsh": _sql_q24(),
+    "q25_jaccard_pairs": _SQL_Q25,
+    "q26_simhash": _sql_q26(),
+    "q27_knn_cosine": _SQL_Q27,
+    "q28_text_quality": _SQL_Q28,
+    "q29_lang_guess": _SQL_Q29,
+    "q30_fingerprint": _SQL_Q30,
+    "q31_sessionize": _SQL_Q31,
+    "q32_tumbling_window": _SQL_Q32,
+    "q33_times_cited": _SQL_Q33,
+    "q34_cited_by": _SQL_Q34,
+}

@@ -36,7 +36,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the user's previous event exceeds the gap. Pure window functions
     (lag → boundary flag → running sum), shuffling once on user_id."""
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(by_user)
+    # parquet timestamps arrive as TIMESTAMP_NTZ; epoch seconds (with
+    # microsecond fraction) = gap arithmetic identical to DuckDB's epoch()
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 1e6
+    gap = epoch - F.lag(epoch).over(by_user)
     with_flag = events.withColumn(
         "is_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     )
@@ -62,6 +65,8 @@ def streaming_tumbling_rollup(
     attaches the sink. Used by tests to assert batch/stream parity."""
     schema = spark.read.parquet(events_parquet).schema
     stream = spark.readStream.schema(schema).parquet(events_parquet)
+    # watermarks need zoned timestamps; session tz is UTC so NTZ→TZ is exact
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")

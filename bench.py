@@ -1,0 +1,172 @@
+"""Benchmark entrypoint (driver contract: prints ONE JSON line).
+
+Two parts:
+1. **Crawl throughput** (the BASELINE.json north metric): a wave-mode crawl
+   over a Spark-generated synthetic pages world (real TEI extraction, real
+   anti-join dedupe, real snapshot commits) — reported as URLs
+   scheduled+fetched per second.
+2. **Headline analytics queries** at $SPARK_GRAFT_SF_DIR — per-query wall
+   seconds.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_MASTER (default
+local[$SPARK_GRAFT_CPUS]), BENCH_CRAWL_DOCS (override world size).
+
+Scaling-evidence protocol (BASELINE.md §c): run this file twice via
+spark-submit at --master local[8] and local[32] (scripts/scaling_bench.py
+automates it) and compare `crawl_urls_per_sec`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def synth_pages(spark: SparkSession, n_docs: int):
+    """Distributed synthetic TEI world: doc i cites (i*7+k) % n for k=1..6
+    (every id embedded via the explicit-idno strategy). Built entirely with
+    JVM expressions — no Python generation loop, so world-gen scales with
+    the cluster, not the driver."""
+    aid = F.format_string("%04d.%05d", F.lit(2100) + (F.col("i") / 10000).cast("int"),
+                          F.lit(10000) + F.col("i") % 10000)
+    cited_aid = lambda k: F.format_string(  # noqa: E731
+        "%04d.%05d",
+        F.lit(2100) + (((F.col("i") * 7 + k) % F.col("n")) / 10000).cast("int"),
+        F.lit(10000) + ((F.col("i") * 7 + k) % F.col("n")) % 10000,
+    )
+    bibs = [
+        F.concat(
+            F.lit(f'<biblStruct xml:id="b{k}"><analytic><title level="a">T{k}</title>'
+                  f'<idno type="arXiv">arXiv:'),
+            cited_aid(k),
+            F.lit("</idno></analytic><monogr><title>V</title></monogr></biblStruct>"),
+        )
+        for k in range(1, 7)
+    ]
+    html = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader/>'
+              "<text><body><p><s>Intro sentence citing "
+              '<ref type="bibr" target="#b1">[1]</ref>.</s></p></body>'
+              "<back><div><listBibl>"),
+        *bibs,
+        F.lit("</listBibl></div></back></text></TEI>"),
+    )
+    return (
+        spark.range(n_docs).select(F.col("id").alias("i"))
+        .withColumn("n", F.lit(n_docs))
+        .select(
+            F.concat(F.lit("https://arxiv.org/abs/"), aid).alias("url"),
+            html.cast("binary").alias("html"),
+        )
+    )
+
+
+def bench_crawl(spark: SparkSession, n_docs: int) -> dict:
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import arxiv_id_of
+
+    pages = synth_pages(spark, n_docs)
+    pages = pages.repartition(spark.sparkContext.defaultParallelism).cache()
+    pages.count()  # materialize the world outside the timed section
+
+    cfg = CrawlConfig(
+        mode="wave",
+        max_papers=max(n_docs // 2, 1000),
+        wave_size=max(n_docs // 8, 250),
+        round_seconds=1e9,  # politeness budget unconstrained for throughput
+        n_buckets=32,
+        use_bloom=True,
+        hash_algo="xxhash64",
+    )
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="bench_crawl_"), pages, cfg)
+    seeds = [arxiv_id_of(i) for i in range(0, n_docs, max(1, n_docs // 200))]
+
+    t0 = time.monotonic()
+    eng.bootstrap(seeds)
+    results = eng.run(max_rounds=6)
+    dt = time.monotonic() - t0
+
+    m = eng.store.manifest()
+    pops = m["total_pops"]
+    links = sum(r.lineage.get("links", 0) for r in results)
+    pages.unpersist()
+    return {
+        "urls_scheduled_fetched": pops,
+        "links_discovered": links,
+        "rounds": len(results),
+        "seconds": round(dt, 2),
+        "urls_per_sec": round(pops / dt, 2),
+        "links_per_sec": round(links / dt, 2),
+    }
+
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_broadcast_join",
+    "q07_window_topk_per_group",
+    "q12_explode_tokens",
+    "q19_frontier_merge",
+    "q24_minhash_lsh",
+    "q27_knn_cosine",
+    "q31_sessionize",
+    "q32_tumbling_window",
+]
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    from arxiv_crawler_spark.plans.analytics import SPARK_QUERIES
+
+    out = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        n = SPARK_QUERIES[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def main() -> None:
+    from arxiv_crawler_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        sf = 0.1
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    spark = get_spark(app_name="arxiv-crawler-spark-bench", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_docs = int(os.environ.get("BENCH_CRAWL_DOCS", str(max(int(400_000 * sf), 4000))))
+    crawl = bench_crawl(spark, n_docs)
+    queries = bench_queries(spark, sf_dir)
+
+    print(
+        json.dumps(
+            {
+                "metric": "urls_scheduled_fetched_per_sec (wave-mode crawl rounds: "
+                "schedule+fetch+extract+dedupe+merge+commit)",
+                "value": crawl["urls_per_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "crawl": crawl,
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Scaling-evidence protocol (BASELINE.md §c): run the same bench job via
+spark-submit at two parallelism levels (local[8] = N cores, local[32] = 4N
+cores) on identical input/configs, and write BENCH/BASELINE.md with both
+throughputs and the scaling efficiency T(4N)/(4·T(N)).
+
+Usage: python scripts/scaling_bench.py [--docs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cores: int, docs: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_MASTER": f"local[{cores}]",
+            "SPARK_GRAFT_CPUS": str(cores),
+            "BENCH_CRAWL_DOCS": str(docs),
+            "SPARK_GRAFT_SF_DIR": sf_dir,
+        }
+    )
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{cores}]",
+        "--conf",
+        f"spark.sql.shuffle.partitions={cores}",
+        "--py-files",
+        _zip_package(),
+        os.path.join(REPO, "bench.py"),
+    ]
+    print(f"$ {' '.join(cmd)}", file=sys.stderr)
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            return json.loads(line)
+    print(out.stdout[-3000:], file=sys.stderr)
+    print(out.stderr[-3000:], file=sys.stderr)
+    raise RuntimeError(f"no JSON line from bench at local[{cores}]")
+
+
+def _zip_package() -> str:
+    """Package the engine for spark-submit --py-files (north_rule run mode)."""
+    import zipfile
+
+    zpath = os.path.join(REPO, "BENCH", "arxiv_crawler_spark.zip")
+    os.makedirs(os.path.dirname(zpath), exist_ok=True)
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "arxiv_crawler_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=40_000)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    r8 = run_level(8, args.docs, args.sf_dir)
+    r32 = run_level(32, args.docs, args.sf_dir)
+    t8, t32 = r8["crawl"]["urls_per_sec"], r32["crawl"]["urls_per_sec"]
+    eff = t32 / (4 * t8)
+
+    md = f"""# BENCH/BASELINE — measured numbers (this sandbox)
+
+North metric: **URLs scheduled+fetched per second** through full wave-mode
+crawl rounds (schedule → fetch-join → Arrow TEI extraction → Bloom+anti-join
+dedupe → frontier COW merge → atomic snapshot commit), synthetic world of
+{args.docs} pages, identical input and configs at both parallelism levels.
+
+Protocol (BASELINE.md §c): a real N→4N-executor cluster is unavailable in
+this sandbox; the same `spark-submit --py-files` job is run at
+`--master local[8]` (N) and `--master local[32]` (4N) with
+`spark.sql.shuffle.partitions` scaled to the core count.
+
+| level | cores | URLs/s | links/s | rounds | seconds |
+|---|---|---|---|---|---|
+| N  | 8  | {t8} | {r8['crawl']['links_per_sec']} | {r8['crawl']['rounds']} | {r8['crawl']['seconds']} |
+| 4N | 32 | {t32} | {r32['crawl']['links_per_sec']} | {r32['crawl']['rounds']} | {r32['crawl']['seconds']} |
+
+**Scaling efficiency = T(4N) / (4 × T(N)) = {eff:.3f}** (target ≥ 0.8).
+
+Headline analytics queries at sf={r32['sf']} (seconds, local[32] / local[8]):
+
+| query | local[32] | local[8] |
+|---|---|---|
+""" + "\n".join(
+        f"| {q} | {r32['queries'][q]} | {r8['queries'][q]} |" for q in r32["queries"]
+    ) + f"""
+
+Spark confs: AQE on (coalesce + skew join), runtime Bloom-filter join
+pruning on, Arrow pandas UDFs, shuffle partitions = core count,
+`spark.sql.files.maxPartitionBytes=128m`.
+
+Raw JSON:
+
+```json
+{json.dumps(r8)}
+{json.dumps(r32)}
+```
+"""
+    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
