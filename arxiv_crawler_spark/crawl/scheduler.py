@@ -67,6 +67,10 @@ class CrawlConfig:
     salt_factor: int = 8
     use_bloom: bool = True
     bloom_bits_per_shard: int = 1 << 20
+    # the Bloom pre-filter pays off once the exact anti-join probes a large
+    # seen set; below this many seen urls the two extra Arrow passes cost
+    # more than they save, so the filter stays warm but unused
+    bloom_min_seen: int = 100_000
     broadcast_wave_max: int = 2_000_000  # broadcast fetch join below this wave size
     phase_switch: bool = True  # BFS → citation-greedy at max_papers//2 (crawler.py:243-246)
     # per-host deferral counters cost a full-frontier groupBy per round —
@@ -291,7 +295,8 @@ class CrawlEngine:
 
         # 6. seen-set dedupe (J1): Bloom pre-filter, then exact anti-join
         bloom = self.store.bloom(m) if self.cfg.use_bloom else None
-        if bloom is not None:
+        n_seen_approx = total_pops + failed_count  # upper bound on |seen|
+        if bloom is not None and n_seen_approx >= self.cfg.bloom_min_seen:
             maybe_seen = self._bloom_filter_links(links_ok, bloom, True)
             surely_new = self._bloom_filter_links(links_ok, bloom, False)
             checked = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")

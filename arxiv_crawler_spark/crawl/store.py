@@ -186,7 +186,9 @@ class SnapshotStore:
 
         if seen_delta is not None:
             sdir = f"{snap}/seen_delta"
-            seen_delta.repartition(1).write.mode("overwrite").parquet(os.path.join(self.path, sdir))
+            # coalesce (no shuffle): one file per ~1M rows keeps the delta
+            # chain scan-cheap without collapsing large waves onto one task
+            seen_delta.coalesce(16).write.mode("overwrite").parquet(os.path.join(self.path, sdir))
             seen_deltas.append(sdir)
         if len(seen_deltas) > self.compact_seen_after:
             cdir = f"{snap}/seen_compacted"
@@ -201,11 +203,11 @@ class SnapshotStore:
             seen_deltas = [cdir]
 
         if fetched_delta is not None:
-            fetched_delta.repartition(1).write.mode("append").parquet(
+            fetched_delta.coalesce(16).write.mode("append").parquet(
                 os.path.join(self.path, "fetched", f"round={round_no}")
             )
         if edges_delta is not None:
-            edges_delta.write.mode("append").parquet(
+            edges_delta.coalesce(16).write.mode("append").parquet(
                 os.path.join(self.path, "edges", f"round={round_no}")
             )
 

@@ -56,7 +56,7 @@ def replay_engine(spark, world_pdf, oracle_out, tmp_path_factory):
         spark,
         str(tmp_path_factory.mktemp("store_replay")),
         pages,
-        CrawlConfig(mode="replay", max_papers=MAX_PAPERS, n_buckets=8, use_bloom=True),
+        CrawlConfig(mode="replay", max_papers=MAX_PAPERS, n_buckets=8, use_bloom=True, bloom_min_seen=0),
     )
     eng.bootstrap(seeds)
     eng.run()

@@ -1,0 +1,58 @@
+"""Physical-plan assertions — the plans must be the plans we want at scale,
+not merely correct: filters pushed to the parquet scan, columns pruned,
+dimension joins broadcast, and no row-at-a-time Python in any oracle query.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.plans.analytics import SPARK_QUERIES, load
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    df = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id", "lang")
+    p = plan_of(df)
+    assert "PushedFilters" in p and "LessThan(doc_id,200)" in p.replace(" ", "")
+    # projection reaches the scan: text/n_chars are not read
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0]
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    p = plan_of(SPARK_QUERIES["q04_broadcast_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_anti_join_shape(spark, sf_dir):
+    p = plan_of(SPARK_QUERIES["q05_anti_join"](spark, sf_dir))
+    assert "LeftAnti" in p
+
+
+def test_map_side_partial_agg(spark, sf_dir):
+    """The rollup must be a two-phase hash aggregate (map-side combine
+    before the shuffle) — with AQE on, the pre-execution plan shows the
+    partial/final HashAggregate pair; codegen happens in the final plan."""
+    p = plan_of(SPARK_QUERIES["q01_pricing_summary"](spark, sf_dir), "simple")
+    assert "partial_sum" in p
+    assert p.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", [n for n in SPARK_QUERIES if n.startswith("q")])
+def test_no_row_python_in_oracle_queries(spark, sf_dir, name):
+    """Every oracle-checked operator stays JVM-side: no BatchEvalPython
+    (row-at-a-time Python UDF) anywhere in the physical plan. (Arrow-batched
+    mapInPandas is allowed only in the x_* engine paths.)"""
+    p = plan_of(SPARK_QUERIES[name](spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
