@@ -99,6 +99,19 @@ def merge_seeds(frontier: DataFrame, seen: DataFrame, seeds: DataFrame, round_no
     )
 
 
+def _scalar_priority(phase: str) -> Column:
+    """Monotone int64 image of the (depth, count) priority order — used only
+    for quantile thresholding, where the discovery_seq tie-break is covered
+    by overfetch slack. count clamps at 2^22-1 (beyond that, ordering among
+    mega-hubs is already dominated by count)."""
+    c = F.least(F.col("count"), F.lit((1 << 22) - 1))
+    inv_c = F.lit((1 << 22) - 1) - c
+    d = F.col("depth").cast("long")
+    if phase == "bfs":
+        return d * (1 << 22) + inv_c
+    return inv_c * (1 << 22) + d
+
+
 def select_wave(
     frontier: DataFrame,
     phase: str,
@@ -107,6 +120,8 @@ def select_wave(
     host_budgets: DataFrame | None = None,
     default_budget: int = 1,
     salt_factor: int = 8,
+    frontier_size: int | None = None,
+    threshold_prefilter_min: int = 10_000,
 ) -> DataFrame:
     """Pick the next fetch wave.
 
@@ -122,6 +137,31 @@ def select_wave(
     """
     order = priority_order(phase)
     cand = frontier
+
+    # Large waves: a global sort+limit funnels partitions×K rows through one
+    # reducer. Instead, estimate the K-th priority by quantile, pre-filter
+    # the frontier to ~3K candidates (one parallel pass), then take the
+    # exact top-K among them. Falls back to the full frontier if the
+    # estimate under-collects. Only a scan-efficiency move — rows beyond
+    # the threshold would be deferred to later rounds regardless.
+    if wave_cap >= threshold_prefilter_min and frontier_size is None:
+        # parquet count(*) is footer-metadata-only — cheap even at scale
+        frontier_size = frontier.count()
+    if (
+        wave_cap >= threshold_prefilter_min
+        and frontier_size
+        and frontier_size > 4 * wave_cap
+    ):
+        key = _scalar_priority(phase)
+        keyed = cand.withColumn("_pk", key)
+        frac = min(1.0, 3.0 * wave_cap / frontier_size)
+        thr = keyed.stat.approxQuantile("_pk", [frac], 0.02)[0]
+        filtered = keyed.filter(F.col("_pk") <= thr).drop("_pk")
+        if filtered.limit(wave_cap).count() >= wave_cap:
+            cand = filtered
+        else:  # estimate under-collected (heavy ties) — use everything
+            cand = keyed.drop("_pk")
+
     if host_budgets is not None:
         cand = cand.join(F.broadcast(host_budgets), "host", "left").withColumn(
             "budget", F.coalesce(F.col("budget"), F.lit(default_budget))

@@ -31,6 +31,7 @@ Scale notes (local[32] here, 1000 executors at 100 TB):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -76,6 +77,10 @@ class CrawlConfig:
     # per-host deferral counters cost a full-frontier groupBy per round —
     # exact lineage for tests/audits, off for throughput runs
     collect_host_lineage: bool = False
+    # exact per-bucket lineage + COW bucket tracking costs two extra agg
+    # jobs per round; with it off the frontier is fully rewritten each
+    # round and sizes are reported as -1 (throughput mode)
+    exact_lineage: bool = True
 
 
 @dataclass
@@ -208,6 +213,14 @@ class CrawlEngine:
     # -------------------------------------------------------------- round
     def run_round(self) -> RoundResult | None:
         t0 = time.monotonic()
+        _tlast = [t0]
+
+        def _mark(label: str) -> None:
+            if os.environ.get("SPARK_GRAFT_DEBUG_TIMING"):
+                now = time.monotonic()
+                print(f"    [round] {label}: {now - _tlast[0]:.2f}s", flush=True)
+                _tlast[0] = now
+
         m = self.store.manifest()
         round_no = m["round"] + 1
         processed_count, failed_count, total_pops = (
@@ -216,7 +229,7 @@ class CrawlEngine:
             m["total_pops"],
         )
         if processed_count >= self.cfg.max_papers or m["frontier_size"] == 0:
-            return None  # crawler.py:243 termination
+            return None  # crawler.py:243 termination (size -1 = unknown → run)
 
         phase = self._phase(processed_count)
         frontier = self.store.frontier(m)
@@ -233,8 +246,10 @@ class CrawlEngine:
             host_budgets=budgets,
             default_budget=pol.default_budget(self.cfg.round_seconds),
             salt_factor=self.cfg.salt_factor,
+            frontier_size=m["frontier_size"] if m["frontier_size"] > 0 else None,
         ).cache()
         waved = wave.count()
+        _mark("wave select+count")
         if waved == 0:
             return None
 
@@ -332,49 +347,64 @@ class CrawlEngine:
             F.coalesce(F.sum("num_arxiv_citations"), F.lit(0)).alias("links"),
         ).collect()[0]
         n_links = int(stats["links"])
-
-        # one small agg on disc: per-bucket occurrence sums → changed buckets
-        disc_buckets = {
-            int(r["b"]): (int(r["occ"]), int(r["keys"]))
-            for r in disc.groupBy(bucket_col.alias("b"))
-            .agg(F.sum("occ").alias("occ"), F.count(F.lit(1)).alias("keys"))
-            .collect()
-        }
-        n_new = sum(o for o, _ in disc_buckets.values())
+        _mark("fetch+extract+stats")
 
         # wave hashes: reused for bloom update and changed-bucket set
         wave_hashes = np.array(
             [r[0] for r in wave.select("url_hash").collect()], dtype=np.int64
-        )
-        changed = sorted(
-            set(disc_buckets) | {int(h) % self.cfg.n_buckets for h in wave_hashes.tolist()}
-        )
+        ) if (self.cfg.use_bloom or self.cfg.exact_lineage) else np.empty(0, dtype=np.int64)
+        _mark("wave hash collect")
 
-        # 8. COW frontier merge over changed buckets only
-        frontier_changed_old = (
-            frontier.filter(bucket_col.isin(changed)) if changed else frontier.limit(0)
-        )
+        if self.cfg.exact_lineage:
+            # one small agg on disc: per-bucket occurrence sums → changed buckets
+            disc_buckets = {
+                int(r["b"]): (int(r["occ"]), int(r["keys"]))
+                for r in disc.groupBy(bucket_col.alias("b"))
+                .agg(F.sum("occ").alias("occ"), F.count(F.lit(1)).alias("keys"))
+                .collect()
+            }
+            n_new = sum(o for o, _ in disc_buckets.values())
+            changed = sorted(
+                set(disc_buckets) | {int(h) % self.cfg.n_buckets for h in wave_hashes.tolist()}
+            )
+        else:
+            n_new = -1
+            changed = None  # full rewrite, no COW tracking (throughput mode)
+
+        # 8. COW frontier merge over changed buckets only (or full rewrite)
+        if changed is None:
+            frontier_changed_old = frontier
+        elif changed:
+            frontier_changed_old = frontier.filter(bucket_col.isin(changed))
+        else:
+            frontier_changed_old = frontier.limit(0)
         new_frontier_part = merge_frontier(
             frontier_changed_old, wave.select("url_hash"), disc, round_no
         ).cache()
-        per_bucket = {
-            str(r["b"]): int(r["c"])
-            for r in new_frontier_part.groupBy(bucket_col.alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
 
-        # exact frontier size from manifest bucket bookkeeping — no extra job
-        bucket_sizes = dict(m.get("bucket_sizes") or {})
-        old_changed_count = sum(int(bucket_sizes.get(str(b), 0)) for b in changed)
-        for b in changed:
-            if str(b) in per_bucket:
-                bucket_sizes[str(b)] = per_bucket[str(b)]
-            else:
-                bucket_sizes.pop(str(b), None)
-        new_size = m["frontier_size"] - old_changed_count + sum(
-            per_bucket.get(str(b), 0) for b in changed
-        )
+        if self.cfg.exact_lineage:
+            per_bucket = {
+                str(r["b"]): int(r["c"])
+                for r in new_frontier_part.groupBy(bucket_col.alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            # exact frontier size from manifest bucket bookkeeping — no extra job
+            bucket_sizes = dict(m.get("bucket_sizes") or {})
+            old_changed_count = sum(int(bucket_sizes.get(str(b), 0)) for b in changed)
+            for b in changed:
+                if str(b) in per_bucket:
+                    bucket_sizes[str(b)] = per_bucket[str(b)]
+                else:
+                    bucket_sizes.pop(str(b), None)
+            new_size = m["frontier_size"] - old_changed_count + sum(
+                per_bucket.get(str(b), 0) for b in changed
+            )
+        else:
+            per_bucket = {}
+            bucket_sizes = {}
+            new_size = -1  # unknown; termination is waved == 0
+        _mark("lineage aggs")
 
         # 9. seen delta (+ robots-denied links, only when robots exist)
         n_denied = 0
@@ -398,7 +428,7 @@ class CrawlEngine:
             seen_delta = seen_delta.unionByName(denied_new)
 
         # occurrences not newly queued (already seen, in-wave, or denied)
-        deduped = int(n_links - n_new)
+        deduped = int(n_links - n_new) if n_new >= 0 else -1
 
         # politeness deferral lineage (exact, optional — full-frontier agg)
         deferred = 0
@@ -448,9 +478,10 @@ class CrawlEngine:
             "robots_denied": n_denied,
             "politeness_deferred": deferred,
             "politeness_deferred_by_host": lineage_hosts,
-            "frontier_changed_buckets": {str(b): per_bucket.get(str(b), 0) for b in changed},
+            "frontier_changed_buckets": {str(b): per_bucket.get(str(b), 0) for b in (changed or [])},
         }
 
+        _mark("pre-commit misc")
         self.store.commit(
             round_no,
             frontier_changed=new_frontier_part,
@@ -469,6 +500,7 @@ class CrawlEngine:
                 "lineage": lineage,
             },
         )
+        _mark("commit")
         for df in (wave, fetched, disc, new_frontier_part):
             df.unpersist()
         return RoundResult(

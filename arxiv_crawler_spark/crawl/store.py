@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -160,36 +161,71 @@ class SnapshotStore:
         buckets: dict[str, str] = dict(prev["frontier_buckets"]) if prev else {}
         seen_deltas: list[str] = list(prev["seen_deltas"]) if prev else []
 
+        # the four data writes are independent jobs → submit them from
+        # threads so their stages overlap (Spark schedules concurrent jobs
+        # from one session); wall cost ≈ the slowest write, not the sum
+        jobs = []
         if frontier_changed is not None:
             fdir = f"{snap}/frontier"
-            (
-                frontier_changed.withColumn(
-                    "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
+
+            def write_frontier():
+                (
+                    frontier_changed.withColumn(
+                        "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
+                    )
+                    .repartition(
+                        max(1, min(self.n_buckets, 2 * self.spark.sparkContext.defaultParallelism)),
+                        "bucket",
+                    )
+                    .sortWithinPartitions("bucket", "url_hash")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(os.path.join(self.path, fdir))
                 )
-                .repartition(max(1, min(self.n_buckets, 2 * self.spark.sparkContext.defaultParallelism)), "bucket")
-                .sortWithinPartitions("bucket", "url_hash")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(os.path.join(self.path, fdir))
-            )
-            written = {
-                int(d.split("=")[1])
-                for d in os.listdir(os.path.join(self.path, fdir))
-                if d.startswith("bucket=")
-            }
-            targets = set(changed_buckets) if changed_buckets is not None else set(range(self.n_buckets))
-            for b in targets:
-                if b in written:
-                    buckets[str(b)] = f"{fdir}/bucket={b}"
-                else:
-                    buckets.pop(str(b), None)  # bucket became empty
+
+            jobs.append(write_frontier)
 
         if seen_delta is not None:
             sdir = f"{snap}/seen_delta"
             # coalesce (no shuffle): one file per ~1M rows keeps the delta
             # chain scan-cheap without collapsing large waves onto one task
-            seen_delta.coalesce(16).write.mode("overwrite").parquet(os.path.join(self.path, sdir))
+            jobs.append(
+                lambda: seen_delta.coalesce(16)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.path, sdir))
+            )
             seen_deltas.append(sdir)
+        if fetched_delta is not None:
+            jobs.append(
+                lambda: fetched_delta.coalesce(16)
+                .write.mode("append")
+                .parquet(os.path.join(self.path, "fetched", f"round={round_no}"))
+            )
+        if edges_delta is not None:
+            jobs.append(
+                lambda: edges_delta.coalesce(16)
+                .write.mode("append")
+                .parquet(os.path.join(self.path, "edges", f"round={round_no}"))
+            )
+        if jobs:
+            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+                futures = [ex.submit(j) for j in jobs]
+                for f in futures:
+                    f.result()  # re-raise any write failure before the flip
+
+        if frontier_changed is not None:
+            written = {
+                int(d.split("=")[1])
+                for d in os.listdir(os.path.join(self.path, f"{snap}/frontier"))
+                if d.startswith("bucket=")
+            }
+            targets = set(changed_buckets) if changed_buckets is not None else set(range(self.n_buckets))
+            for b in targets:
+                if b in written:
+                    buckets[str(b)] = f"{snap}/frontier/bucket={b}"
+                else:
+                    buckets.pop(str(b), None)  # bucket became empty
+
         if len(seen_deltas) > self.compact_seen_after:
             cdir = f"{snap}/seen_compacted"
             paths = [os.path.join(self.path, d) for d in seen_deltas]
@@ -201,15 +237,6 @@ class SnapshotStore:
                 .parquet(os.path.join(self.path, cdir))
             )
             seen_deltas = [cdir]
-
-        if fetched_delta is not None:
-            fetched_delta.coalesce(16).write.mode("append").parquet(
-                os.path.join(self.path, "fetched", f"round={round_no}")
-            )
-        if edges_delta is not None:
-            edges_delta.coalesce(16).write.mode("append").parquet(
-                os.path.join(self.path, "edges", f"round={round_no}")
-            )
 
         bloom_file = prev.get("bloom_file") if prev else None
         if bloom is not None:

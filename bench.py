@@ -31,11 +31,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def synth_pages(spark: SparkSession, n_docs: int):
-    """Distributed synthetic TEI world: doc i cites (i*7+k) % n for k=1..6
-    (every id embedded via the explicit-idno strategy). Built entirely with
-    JVM expressions — no Python generation loop, so world-gen scales with
-    the cluster, not the driver."""
+def synth_pages(spark: SparkSession, n_docs: int, n_bib: int = 36, n_refs: int = 24):
+    """Distributed synthetic TEI world, realistically sized (~25-40 KB TEI,
+    dozens of bibliography entries and in-text references — what Grobid
+    emits for a normal paper). Doc i cites (i*7+k) % n for k=1..8 via
+    explicit arXiv idnos; the remaining bib entries have no arXiv id. Built
+    entirely with JVM expressions — no Python generation loop, so world-gen
+    scales with the cluster, not the driver."""
     aid = F.format_string("%04d.%05d", F.lit(2100) + (F.col("i") / 10000).cast("int"),
                           F.lit(10000) + F.col("i") % 10000)
     cited_aid = lambda k: F.format_string(  # noqa: E731
@@ -43,21 +45,52 @@ def synth_pages(spark: SparkSession, n_docs: int):
         F.lit(2100) + (((F.col("i") * 7 + k) % F.col("n")) / 10000).cast("int"),
         F.lit(10000) + ((F.col("i") * 7 + k) % F.col("n")) % 10000,
     )
-    bibs = [
-        F.concat(
-            F.lit(f'<biblStruct xml:id="b{k}"><analytic><title level="a">T{k}</title>'
-                  f'<idno type="arXiv">arXiv:'),
-            cited_aid(k),
-            F.lit("</idno></analytic><monogr><title>V</title></monogr></biblStruct>"),
+    authors = "".join(
+        f"<author><persName><forename>Fo{j}</forename>"
+        f"<surname>Sur{j}</surname></persName></author>"
+        for j in range(3)
+    )
+    bibs = []
+    for k in range(n_bib):
+        head = F.lit(
+            f'<biblStruct xml:id="b{k}"><analytic>'
+            f'<title level="a">A moderately long paper title number {k} on web-scale'
+            f" crawl scheduling and extraction</title>{authors}"
         )
-        for k in range(1, 7)
-    ]
+        if 1 <= k <= 8:
+            bibs.append(
+                F.concat(
+                    head,
+                    F.lit('<idno type="arXiv">arXiv:'),
+                    cited_aid(k),
+                    F.lit(
+                        f"</idno></analytic><monogr><title>Conf {k}</title>"
+                        f'<imprint><date type="published" when="20{k % 30:02d}" />'
+                        f"</imprint></monogr></biblStruct>"
+                    ),
+                )
+            )
+        else:
+            bibs.append(
+                F.lit(
+                    f"{'' if k else ''}"
+                    f'</analytic><monogr><title>Journal of Venue {k}</title>'
+                    f'<imprint><date type="published" when="19{k % 100:02d}" />'
+                    f"</imprint></monogr></biblStruct>"
+                )
+            )
+            bibs[-1] = F.concat(head, bibs[-1])
+    body = "".join(
+        f"<p><s>A sentence with plenty of words describing the context of "
+        f'reference number {k} in appropriate detail <ref type="bibr" '
+        f'target="#b{k % n_bib}">[{k}]</ref>.</s>'
+        f"<s>A follow-up sentence padding the paragraph with prose.</s></p>"
+        for k in range(n_refs)
+    )
     html = F.concat(
         F.lit('<?xml version="1.0" encoding="UTF-8"?>'
               '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader/>'
-              "<text><body><p><s>Intro sentence citing "
-              '<ref type="bibr" target="#b1">[1]</ref>.</s></p></body>'
-              "<back><div><listBibl>"),
+              f"<text><body>{body}</body><back><div><listBibl>"),
         *bibs,
         F.lit("</listBibl></div></back></text></TEI>"),
     )
@@ -76,28 +109,35 @@ def bench_crawl(spark: SparkSession, n_docs: int) -> dict:
     from arxiv_crawler_spark.fixtures import arxiv_id_of
 
     pages = synth_pages(spark, n_docs)
-    pages = pages.repartition(spark.sparkContext.defaultParallelism).cache()
-    pages.count()  # materialize the world outside the timed section
+    pages = pages.repartition(4 * spark.sparkContext.defaultParallelism)
+    if n_docs <= 400_000:  # cache moderate worlds; bigger ones stay virtual
+        pages = pages.cache()
+    pages.count()  # materialize / codegen-warm the world outside the timed section
 
+    wave = int(os.environ.get("BENCH_WAVE", str(max(n_docs // 8, 250))))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
     cfg = CrawlConfig(
         mode="wave",
-        max_papers=max(n_docs // 2, 1000),
-        wave_size=max(n_docs // 8, 250),
+        max_papers=n_docs,
+        wave_size=wave,
         round_seconds=1e9,  # politeness budget unconstrained for throughput
         n_buckets=32,
         use_bloom=True,
         hash_algo="xxhash64",
+        exact_lineage=False,  # throughput mode: no per-bucket audit jobs
     )
     eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="bench_crawl_"), pages, cfg)
-    seeds = [arxiv_id_of(i) for i in range(0, n_docs, max(1, n_docs // 200))]
+    seeds = [arxiv_id_of(i) for i in range(0, n_docs, max(1, n_docs // wave))]
 
-    t0 = time.monotonic()
     eng.bootstrap(seeds)
-    results = eng.run(max_rounds=6)
+    eng.run_round()  # one warm-up round: JIT + python-worker spin-up excluded
+    pops0 = eng.store.manifest()["total_pops"]
+    t0 = time.monotonic()
+    results = eng.run(max_rounds=n_rounds)
     dt = time.monotonic() - t0
 
     m = eng.store.manifest()
-    pops = m["total_pops"]
+    pops = m["total_pops"] - pops0
     links = sum(r.lineage.get("links", 0) for r in results)
     pages.unpersist()
     return {
@@ -136,6 +176,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     from arxiv_crawler_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
