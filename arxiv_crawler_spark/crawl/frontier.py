@@ -169,7 +169,11 @@ def select_wave(
     else:
         cand = cand.withColumn("budget", F.lit(default_budget))
 
-    if wave_cap > 1:
+    # the per-host windows can only bind when some host's budget is below
+    # the global cap — with a uniform budget ≥ wave_cap they are provably
+    # no-ops, so skip the two window shuffles entirely
+    budgets_can_bind = host_budgets is not None or default_budget < wave_cap
+    if wave_cap > 1 and budgets_can_bind:
         salt = F.pmod(F.xxhash64("url_hash"), F.lit(salt_factor))
         w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
         cand = cand.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= F.col("budget"))

@@ -17,14 +17,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, docs: int, sf_dir: str) -> dict:
+def run_level(cores: int, docs: int, sf_dir: str, wave: int, rounds: int) -> dict:
     env = dict(os.environ)
     env.update(
         {
             "SPARK_GRAFT_MASTER": f"local[{cores}]",
             "SPARK_GRAFT_CPUS": str(cores),
             "BENCH_CRAWL_DOCS": str(docs),
+            "BENCH_WAVE": str(wave),
+            "BENCH_ROUNDS": str(rounds),
             "SPARK_GRAFT_SF_DIR": sf_dir,
+            "SPARK_GRAFT_DRIVER_MEM": env.get("SPARK_GRAFT_DRIVER_MEM", "56g"),
         }
     )
     cmd = [
@@ -66,12 +69,14 @@ def _zip_package() -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=40_000)
+    ap.add_argument("--docs", type=int, default=300_000)
+    ap.add_argument("--wave", type=int, default=75_000)
+    ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
-    r8 = run_level(8, args.docs, args.sf_dir)
-    r32 = run_level(32, args.docs, args.sf_dir)
+    r8 = run_level(8, args.docs, args.sf_dir, args.wave, args.rounds)
+    r32 = run_level(32, args.docs, args.sf_dir, args.wave, args.rounds)
     t8, t32 = r8["crawl"]["urls_per_sec"], r32["crawl"]["urls_per_sec"]
     eff = t32 / (4 * t8)
 

@@ -20,7 +20,7 @@ pages.count()
 cfg = CrawlConfig(mode="wave", max_papers=docs, wave_size=wave, round_seconds=1e9, n_buckets=32, exact_lineage={lineage})
 eng = CrawlEngine(spark, tempfile.mkdtemp(), pages, cfg)
 eng.bootstrap([arxiv_id_of(i) for i in range(0, docs, max(1, docs // wave))])
-eng.run_round()  # warm round excluded
+eng.run_round(); eng.run_round()  # two warm rounds excluded (JIT drift)
 t=time.monotonic(); rs = eng.run(max_rounds=rounds); dt=time.monotonic()-t
 pops = sum(r.waved for r in rs)
 print("RESULT", pops, round(dt,1), round(pops/dt,1))

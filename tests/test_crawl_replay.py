@@ -127,3 +127,21 @@ def test_lineage_counters(replay_engine):
     assert lin["fetched"] == 1  # replay waves are single pops
     assert "frontier_changed_buckets" in lin and lin["frontier_size"] == m["frontier_size"]
     assert m["processed_count"] == MAX_PAPERS
+
+
+def test_replay_with_murmur64_hash(spark, world_pdf, oracle_out, tmp_path_factory):
+    """The north_rule murmur hash drives the same replay result (hash choice
+    must not affect scheduling semantics)."""
+    world, seeds, trace, _ = oracle_out
+    pages = spark_pages(spark, world_pdf)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("store_m64")),
+        pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, hash_algo="murmur64"),
+    )
+    eng.bootstrap(seeds)
+    eng.run()
+    got = [r["url"] for r in eng.trace().collect()]
+    want = [_id_to_url(t.arxiv_id) for t in trace[: len(got)]]
+    assert got == want

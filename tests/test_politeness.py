@@ -1,0 +1,99 @@
+"""Politeness semantics: binding per-host budgets, robots disallow, and
+deferral lineage (X6, generalizing crawler.py:33,95)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+from arxiv_crawler_spark.crawl.frontier import select_wave
+from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+
+
+def test_binding_budget_caps_wave(spark, tmp_path_factory):
+    """crawl_delay 3.0 with a 3-second round = budget 1 per host (the
+    reference's exact politeness regime) — waves must be 1 even when
+    wave_size asks for more, and deferrals must be counted."""
+    pages = spark_pages(spark, gen_world(n_docs=30, seed=42))
+    robots = spark.createDataFrame(
+        [("arxiv.org", 3.0, [])], "host string, crawl_delay double, disallow array<string>"
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("polite")),
+        pages,
+        CrawlConfig(
+            mode="wave",
+            max_papers=30,
+            wave_size=8,
+            round_seconds=3.0,
+            n_buckets=8,
+            collect_host_lineage=True,
+        ),
+        robots=robots,
+    )
+    eng.bootstrap(gen_seeds(30, n_seeds=4))
+    r1 = eng.run_round()
+    r2 = eng.run_round()
+    assert r1.waved == 1 and r2.waved == 1  # budget binds below wave_size
+    assert r2.politeness_deferred > 0
+    assert r2.lineage["politeness_deferred_by_host"].get("arxiv.org", 0) > 0
+
+
+def test_budget_scales_with_round_seconds(spark, tmp_path_factory):
+    """round_seconds 9 with crawl_delay 3 → budget 3 per host per round."""
+    pages = spark_pages(spark, gen_world(n_docs=30, seed=42))
+    robots = spark.createDataFrame(
+        [("arxiv.org", 3.0, [])], "host string, crawl_delay double, disallow array<string>"
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("polite3")),
+        pages,
+        CrawlConfig(mode="wave", max_papers=30, wave_size=8, round_seconds=9.0, n_buckets=8),
+        robots=robots,
+    )
+    eng.bootstrap(gen_seeds(30, n_seeds=6))
+    r1 = eng.run_round()
+    assert r1.waved == 3
+
+
+def test_robots_disallow_blocks_discovery(spark, tmp_path_factory):
+    """Links matching a disallow prefix are recorded robots_denied and never
+    fetched."""
+    pages = spark_pages(spark, gen_world(n_docs=30, seed=42))
+    robots = spark.createDataFrame(
+        [("arxiv.org", 0.001, ["/abs/21"])],  # blocks every fixture url prefix
+        "host string, crawl_delay double, disallow array<string>",
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("robots")),
+        pages,
+        CrawlConfig(mode="wave", max_papers=30, wave_size=8, round_seconds=3.0, n_buckets=8),
+        robots=robots,
+    )
+    eng.bootstrap(gen_seeds(30, n_seeds=4))
+    m = eng.store.manifest()
+    # all seeds are /abs/21xx → denied at bootstrap, frontier empty
+    assert m["frontier_size"] == 0
+    seen = eng.store.seen(m)
+    assert seen.filter(F.col("status") == "robots_denied").count() >= 4
+    assert eng.run_round() is None
+
+
+def test_select_wave_budget_windows(spark):
+    """Direct window check: per-host top-budget selection with skew salt."""
+    rows = [(i, f"https://h{i % 3}.x/{i}", f"h{i % 3}.x", 100 - i, 0, i) for i in range(30)]
+    frontier = spark.createDataFrame(
+        rows, "url_hash long, url string, host string, count long, depth int, discovery_seq long"
+    )
+    budgets = spark.createDataFrame([("h0.x", 2), ("h1.x", 1), ("h2.x", 3)], "host string, budget int")
+    wave = select_wave(
+        frontier, "citations", wave_cap=100, host_budgets=budgets, default_budget=1, salt_factor=4
+    ).collect()
+    by_host = {}
+    for r in wave:
+        by_host.setdefault(r["host"], []).append(r["count"])
+    assert {h: len(v) for h, v in by_host.items()} == {"h0.x": 2, "h1.x": 1, "h2.x": 3}
+    # each host's selection is its top-count rows
+    assert sorted(by_host["h0.x"], reverse=True) == [100, 97]
