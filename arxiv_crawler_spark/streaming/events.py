@@ -10,6 +10,9 @@ sessionization.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -64,6 +67,11 @@ def streaming_tumbling_rollup(
     parquet source with an event-time watermark for late data; caller
     attaches the sink. Used by tests to assert batch/stream parity."""
     schema = spark.read.parquet(events_parquet).schema
+    if os.path.isfile(events_parquet):
+        # the file stream source requires a directory — stage single files
+        staged = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(events_parquet), os.path.join(staged, "part-0.parquet"))
+        events_parquet = staged
     stream = spark.readStream.schema(schema).parquet(events_parquet)
     # watermarks need zoned timestamps; session tz is UTC so NTZ→TZ is exact
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
