@@ -693,6 +693,83 @@ from {_SQL_EDGES} e group by 1
 """
 
 
+
+
+def q35_array_ops(spark, sf):  # F9 (higher-order array functions)
+    d = load(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_join(F.filter(toks, lambda t: F.length(t) > 4), ",").alias("long_tokens"),
+        F.array_join(F.transform(F.slice(toks, 1, 5), lambda t: F.upper(t)), ",").alias("upper5"),
+    )
+
+
+_SQL_Q35 = """
+with t as (select doc_id, list_filter(string_split(text, ' '), x -> x <> '') as toks
+           from documents)
+select doc_id,
+       array_to_string(toks[1:3], ' ') as first3,
+       len(list_distinct(toks))::BIGINT as n_distinct,
+       array_to_string(list_filter(toks, x -> len(x) > 4), ',') as long_tokens,
+       array_to_string(list_transform(toks[1:5], x -> upper(x)), ',') as upper5
+from t
+"""
+
+
+def q36_token_pair_cooccurrence(spark, sf):  # J8 (self-join pair counting)
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    inv = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("t")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = a.join(
+        b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.t") < F.col("b.t"))
+    ).select(F.col("a.t").alias("t1"), F.col("b.t").alias("t2"))
+    return (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("t1"), F.asc("t2"))
+        .limit(15)
+    )
+
+
+_SQL_Q36 = """
+with inv as (
+  select doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) as t
+  from documents where doc_id < 100)
+select a.t as t1, b.t as t2, count(*) as n_docs
+from inv a join inv b on a.doc_id = b.doc_id and a.t < b.t
+group by 1, 2 order by n_docs desc, t1 asc, t2 asc limit 15
+"""
+
+
+def q37_json_serialize(spark, sf):  # F14 (canonical row serialization)
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit('{"id":'),
+            F.col("c_custkey").cast("string"),
+            F.lit(',"name":"'),
+            F.col("c_name"),
+            F.lit('","segment":"'),
+            F.col("c_mktsegment"),
+            F.lit('"}'),
+        ).alias("row_json"),
+    )
+
+
+_SQL_Q37 = """
+select c_custkey,
+       '{"id":' || c_custkey || ',"name":"' || c_name || '","segment":"'
+       || c_mktsegment || '"}' as row_json
+from customer
+"""
+
+
 # ------------------------- rows-only (non-SQL-expressible) -----------------
 
 def x50_crawl_replay(spark, sf):
@@ -777,6 +854,9 @@ SPARK_QUERIES = {
     "q32_tumbling_window": q32_tumbling_window,
     "q33_times_cited": q33_times_cited,
     "q34_cited_by": q34_cited_by,
+    "q35_array_ops": q35_array_ops,
+    "q36_token_pair_cooccurrence": q36_token_pair_cooccurrence,
+    "q37_json_serialize": q37_json_serialize,
     "x50_crawl_replay": x50_crawl_replay,
     "x51_extract_tei": x51_extract_tei,
     "x52_knn_lsh": x52_knn_lsh,
@@ -819,4 +899,7 @@ ORACLE_SQL = {
     "q32_tumbling_window": _SQL_Q32,
     "q33_times_cited": _SQL_Q33,
     "q34_cited_by": _SQL_Q34,
+    "q35_array_ops": _SQL_Q35,
+    "q36_token_pair_cooccurrence": _SQL_Q36,
+    "q37_json_serialize": _SQL_Q37,
 }

@@ -132,7 +132,10 @@ def test_lineage_counters(replay_engine):
 def test_replay_with_murmur64_hash(spark, world_pdf, oracle_out, tmp_path_factory):
     """The north_rule murmur hash drives the same replay result (hash choice
     must not affect scheduling semantics)."""
-    world, seeds, trace, _ = oracle_out
+    world, seeds, _, _ = oracle_out
+    # phase switching depends on max_papers, so the oracle must run with the
+    # same budget as the engine
+    trace, _ = crawl_oracle(world, seeds, max_papers=6)
     pages = spark_pages(spark, world_pdf)
     eng = CrawlEngine(
         spark,
@@ -143,5 +146,5 @@ def test_replay_with_murmur64_hash(spark, world_pdf, oracle_out, tmp_path_factor
     eng.bootstrap(seeds)
     eng.run()
     got = [r["url"] for r in eng.trace().collect()]
-    want = [_id_to_url(t.arxiv_id) for t in trace[: len(got)]]
+    want = [_id_to_url(t.arxiv_id) for t in trace]
     assert got == want
