@@ -770,6 +770,23 @@ from customer
 """
 
 
+
+
+def q38_rollup(spark, sf):  # grouping sets (SURVEY §2.4 "free if wanted")
+    o = load(spark, sf, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").cast("long").alias("y"), F.month("o_orderdate").cast("long").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+_SQL_Q38 = """
+select year(o_orderdate) as y, month(o_orderdate) as m,
+       count(*) as n_orders, round(sum(o_totalprice), 2) as revenue
+from orders group by rollup(1, 2)
+"""
+
+
 # ------------------------- rows-only (non-SQL-expressible) -----------------
 
 def x50_crawl_replay(spark, sf):
@@ -819,6 +836,36 @@ def x54_simhash_near_pairs(spark, sf):
     return DD.simhash_near_pairs(d, max_dist=8)
 
 
+
+
+def x56_approx_distinct(spark, sf):
+    """approx_count_distinct — frontier-size estimation at 10^10 scale
+    (sketch-based, no exact-SQL oracle; rows-only check)."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.approx_count_distinct("text").alias("approx_docs"),
+        F.count(F.lit(1)).alias("exact_rows"),
+    )
+
+
+def x57_host_skew_wave(spark, sf):
+    """Salted two-level window rank under Zipf host skew: per-host budget 5
+    over a synthetic skewed frontier (one host holds ~half the urls)."""
+    from arxiv_crawler_spark.crawl.frontier import select_wave
+
+    n = 20000
+    frontier = spark.range(n).select(
+        F.col("id").alias("url_hash"),
+        F.concat(F.lit("https://h"), (F.pmod(F.xxhash64("id"), F.lit(40)) * F.pmod(F.xxhash64("id"), F.lit(2))).alias("x").cast("string"), F.lit(".x/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.pmod(F.xxhash64("id"), F.lit(40)) * F.pmod(F.xxhash64("id"), F.lit(2))).cast("string"), F.lit(".x")).alias("host"),
+        (F.col("id") % 100).alias("count"),
+        (F.col("id") % 5).cast("int").alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    )
+    wave = select_wave(frontier, "citations", wave_cap=500, host_budgets=None, default_budget=5, salt_factor=8)
+    return wave.groupBy("host").agg(F.count(F.lit(1)).alias("selected")).orderBy("host")
+
+
 SPARK_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_topk_orders": q02_topk_orders,
@@ -857,11 +904,14 @@ SPARK_QUERIES = {
     "q35_array_ops": q35_array_ops,
     "q36_token_pair_cooccurrence": q36_token_pair_cooccurrence,
     "q37_json_serialize": q37_json_serialize,
+    "q38_rollup": q38_rollup,
     "x50_crawl_replay": x50_crawl_replay,
     "x51_extract_tei": x51_extract_tei,
     "x52_knn_lsh": x52_knn_lsh,
     "x53_media_features": x53_media_features,
     "x54_simhash_near_pairs": x54_simhash_near_pairs,
+    "x56_approx_distinct": x56_approx_distinct,
+    "x57_host_skew_wave": x57_host_skew_wave,
 }
 
 ORACLE_SQL = {
@@ -902,4 +952,5 @@ ORACLE_SQL = {
     "q35_array_ops": _SQL_Q35,
     "q36_token_pair_cooccurrence": _SQL_Q36,
     "q37_json_serialize": _SQL_Q37,
+    "q38_rollup": _SQL_Q38,
 }

@@ -1,0 +1,48 @@
+"""Snapshot-store behaviors not covered by the crawl suites: seen-delta
+compaction and COW bucket reuse."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+
+
+def test_seen_compaction_preserves_dedupe(spark, tmp_path_factory):
+    """With a tiny compaction threshold the delta chain must fold without
+    changing the seen set or subsequent dedupe behavior."""
+    pages = spark_pages(spark, gen_world(n_docs=40, seed=42)).cache()
+    d = str(tmp_path_factory.mktemp("compact"))
+    eng = CrawlEngine(
+        spark, d, pages, CrawlConfig(mode="replay", max_papers=14, n_buckets=8)
+    )
+    eng.store.compact_seen_after = 5
+    eng.bootstrap(gen_seeds(40))
+    eng.run()
+    m = eng.store.manifest()
+    # the chain was folded at least once: far fewer dirs than rounds
+    assert len(m["seen_deltas"]) <= 6, m["seen_deltas"]
+    assert any("seen_compacted" in p for p in m["seen_deltas"])
+    seen = eng.store.seen(m)
+    # compaction must not duplicate or drop rows
+    assert seen.count() == m["total_pops"] or seen.count() == seen.select("url").distinct().count()
+    assert m["processed_count"] == 14
+
+
+def test_cow_buckets_carried_forward(spark, tmp_path_factory):
+    """Unchanged frontier buckets must be referenced from older snapshots,
+    not rewritten (manifest paths spanning multiple snapshot dirs)."""
+    pages = spark_pages(spark, gen_world(n_docs=40, seed=42)).cache()
+    d = str(tmp_path_factory.mktemp("cow"))
+    eng = CrawlEngine(
+        spark, d, pages, CrawlConfig(mode="replay", max_papers=10, n_buckets=32)
+    )
+    eng.bootstrap(gen_seeds(40))
+    eng.run()
+    m = eng.store.manifest()
+    snapshots = {p.split("/")[1] for p in m["frontier_buckets"].values()}
+    assert len(snapshots) > 1, "every bucket rewritten every round — COW not effective"
+    # and the frontier still reads coherently
+    assert eng.store.frontier(m).count() == m["frontier_size"]

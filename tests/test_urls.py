@@ -72,3 +72,38 @@ def test_host_of(spark):
     ]
     got = _run(spark, host_of, [c[0] for c in cases])
     assert got == [c[1] for c in cases]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_hosts = st.sampled_from(["Example.COM", "arxiv.org", "Host3.Example", "a.b.c.d"])
+_paths = st.lists(
+    st.text(alphabet="abcdefXYZ019._-", min_size=1, max_size=8), max_size=4
+).map(lambda parts: "/" + "/".join(parts))
+_queries = st.lists(
+    st.tuples(st.sampled_from("abcz"), st.integers(0, 99)), max_size=4
+).map(lambda kv: "&".join(f"{k}={v}" for k, v in kv))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "HTTPS", "https"]),
+    host=_hosts,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_paths,
+    query=_queries,
+    frag=st.sampled_from(["", "#x", "#frag/y"]),
+)
+def test_canonicalize_idempotent_property(spark, scheme, host, port, path, query, frag):
+    url = f"{scheme}://{host}{port}{path}"
+    if query:
+        url += f"?{query}"
+    url += frag
+    df = spark.createDataFrame([(url,)], ["u"])
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    row1 = once.collect()[0]["c"]
+    row2 = once.select(canonicalize_url(F.col("c"))).collect()[0][0]
+    assert row1 == row2, f"not idempotent for {url!r}: {row1!r} → {row2!r}"
+    assert "#" not in row1 and row1 == row1.strip()
