@@ -123,7 +123,7 @@ def bench_crawl(spark: SparkSession, n_docs: int) -> dict:
         round_seconds=1e9,  # politeness budget unconstrained for throughput
         n_buckets=32,
         use_bloom=True,
-        hash_algo="xxhash64",
+        hash_algo=os.environ.get("BENCH_HASH", "murmur64"),  # north_rule hash; xxhash64 within noise
         exact_lineage=False,  # throughput mode: no per-bucket audit jobs
     )
     eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="bench_crawl_"), pages, cfg)
