@@ -98,3 +98,32 @@ def test_rebootstrap_is_idempotent(spark, pages, tmp_path_factory):
     # all original seeds are either seen or still queued — never duplicated
     got = eng.seen_statuses().groupBy("url").count().filter("count > 1").count()
     assert got == 0
+
+
+def test_wave_mode_resume_equivalence(spark, pages, tmp_path_factory):
+    """Wave mode is deterministic too: interrupt + resume must land on the
+    same final seen set and manifest counters as an uninterrupted run."""
+    seeds = gen_seeds(N_DOCS)
+    cfg = lambda: CrawlConfig(  # noqa: E731
+        mode="wave", max_papers=1000, wave_size=6, round_seconds=18.0, n_buckets=8
+    )
+
+    full = CrawlEngine(spark, str(tmp_path_factory.mktemp("wfull")), pages, cfg())
+    full.bootstrap(seeds)
+    full.run(max_rounds=40)
+
+    part_dir = str(tmp_path_factory.mktemp("wpart"))
+    e1 = CrawlEngine(spark, part_dir, pages, cfg())
+    e1.bootstrap(seeds)
+    e1.run(max_rounds=4)
+    del e1
+    e2 = CrawlEngine(spark, part_dir, pages, cfg())
+    e2.run(max_rounds=40)
+
+    m1, m2 = full.store.manifest(), e2.store.manifest()
+    assert m1["processed_count"] == m2["processed_count"]
+    assert m1["failed_count"] == m2["failed_count"]
+    assert m1["total_pops"] == m2["total_pops"]
+    s1 = sorted(tuple(r) for r in full.seen_statuses().collect())
+    s2 = sorted(tuple(r) for r in e2.seen_statuses().collect())
+    assert s1 == s2
