@@ -114,8 +114,8 @@ def bench_crawl(spark: SparkSession, n_docs: int) -> dict:
         pages = pages.cache()
     pages.count()  # materialize / codegen-warm the world outside the timed section
 
-    wave = int(os.environ.get("BENCH_WAVE", str(max(n_docs // 8, 250))))
-    n_rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
+    wave = int(os.environ.get("BENCH_WAVE", str(max(n_docs // 4, 250))))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     cfg = CrawlConfig(
         mode="wave",
         max_papers=n_docs,
@@ -188,7 +188,7 @@ def main() -> None:
     spark = get_spark(app_name="arxiv-crawler-spark-bench", master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_docs = int(os.environ.get("BENCH_CRAWL_DOCS", str(max(int(400_000 * sf), 4000))))
+    n_docs = int(os.environ.get("BENCH_CRAWL_DOCS", str(max(int(800_000 * sf), 4000))))
     crawl = bench_crawl(spark, n_docs)
     queries = bench_queries(spark, sf_dir)
 
