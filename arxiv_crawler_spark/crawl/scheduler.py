@@ -256,6 +256,10 @@ class CrawlEngine:
         # 2. fetch = join against pages (S8/S9: the sandbox fetch layer).
         # Broadcast the small wave so the 100 TB pages side never shuffles.
         wave_b = F.broadcast(wave) if waved <= self.cfg.broadcast_wave_max else wave
+        # precondition: `pages` is unique by url (one snapshot per URL, per
+        # the input_hint schema). A duplicate url would double-count its pop;
+        # dedup here would shuffle wave×html bytes every round, so the
+        # contract lives with the source table (enforce at ingest).
         fetch = wave_b.join(self.pages.select("url", "html"), "url", "left")
 
         # 3. extract (U1, Arrow-batched) and join status back onto the wave
