@@ -107,12 +107,19 @@ class CrawlEngine:
         pages: DataFrame,
         config: CrawlConfig | None = None,
         robots: DataFrame | None = None,
+        link_resolver=None,
     ):
+        """``link_resolver``: Column→Column mapping an extracted link id to
+        its canonical URL. Defaults to the reference's arXiv world (every id
+        lives on arxiv.org — arxiv_util.py single-host assumption); a
+        Common-Crawl-style multi-host world passes a resolver that routes
+        ids to their hosts (see fixtures.multihost_resolver)."""
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.store = SnapshotStore(store_path, spark, n_buckets=self.cfg.n_buckets)
         self.pages = pages
         self.robots = robots
+        self.link_resolver = link_resolver or arxiv_id_to_url
         if self.cfg.mode == "replay":
             self.cfg.wave_size = 1
 
@@ -139,7 +146,7 @@ class CrawlEngine:
         )
         seeds = (
             self.spark.createDataFrame(seeds_pdf)
-            .withColumn("url", canonicalize_url(arxiv_id_to_url(F.col("raw_id"))))
+            .withColumn("url", canonicalize_url(self.link_resolver(F.col("raw_id"))))
             .withColumn("host", host_of(F.col("url")))
             .withColumn("url_hash", self._hash(F.col("url")))
         )
@@ -305,7 +312,7 @@ class CrawlEngine:
         # 5. discovered links (per occurrence — crawler.py:134,151)
         links = (
             edges.filter(F.col("cit.arxiv_id").isNotNull())
-            .withColumn("url", canonicalize_url(arxiv_id_to_url(F.col("cit.arxiv_id"))))
+            .withColumn("url", canonicalize_url(self.link_resolver(F.col("cit.arxiv_id"))))
             .withColumn("host", host_of(F.col("url")))
             .withColumn("url_hash", self._hash(F.col("url")))
             .select("url_hash", "url", "host", "pop_rank", "bib_index", "citing_depth")

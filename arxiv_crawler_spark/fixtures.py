@@ -38,8 +38,36 @@ def arxiv_id_of(i: int) -> str:
     return f"{2100 + i // 10000:04d}.{10000 + i % 10000:05d}"
 
 
-def url_of(i: int) -> str:
-    return f"https://arxiv.org/abs/{arxiv_id_of(i)}"
+N_HOSTS = 8
+
+
+def host_of_id(aid: str) -> int:
+    """Deterministic host assignment for the multi-host world: last two
+    digits of the id modulo N_HOSTS (derivable from the id string alone, so
+    the engine-side resolver and the fixture agree by construction)."""
+    return int(aid[-2:]) % N_HOSTS
+
+
+def url_of(i: int, multi_host: bool = False) -> str:
+    aid = arxiv_id_of(i)
+    if multi_host:
+        return f"https://mirror{host_of_id(aid)}.example.org/abs/{aid}"
+    return f"https://arxiv.org/abs/{aid}"
+
+
+def multihost_resolver(c):
+    """Column link-resolver for the multi-host world (CrawlEngine
+    link_resolver): id → https://mirror{last2 % N_HOSTS}.example.org/abs/id.
+    Pure JVM expressions."""
+    from pyspark.sql import functions as F
+
+    from arxiv_crawler_spark.functions.urls import normalize_arxiv_id_col
+
+    aid = normalize_arxiv_id_col(c)
+    host_k = F.pmod(F.substring(aid, -2, 2).cast("int"), F.lit(N_HOSTS))
+    return F.concat(
+        F.lit("https://mirror"), host_k.cast("string"), F.lit(".example.org/abs/"), aid
+    )
 
 
 _LOREM = (
@@ -115,7 +143,9 @@ def _tei_doc(rng: random.Random, doc_idx: int, bib_entries: list[str], n_cited: 
     return gzip.compress(xml.encode("utf-8"), compresslevel=1)
 
 
-def gen_world(n_docs: int = 200, seed: int = 42, frac_dangling: float = 0.08) -> pd.DataFrame:
+def gen_world(
+    n_docs: int = 200, seed: int = 42, frac_dangling: float = 0.08, multi_host: bool = False
+) -> pd.DataFrame:
     """Build the pages table as pandas (caller lifts to Spark).
 
     Returns columns (url, warc_ts, html, text, lang) for every *fetchable*
@@ -151,7 +181,7 @@ def gen_world(n_docs: int = 200, seed: int = 42, frac_dangling: float = 0.08) ->
         text = canonical_extraction_json(extract_citations(html))
         rows.append(
             {
-                "url": url_of(i),
+                "url": url_of(i, multi_host),
                 "warc_ts": BASE_TS + timedelta(seconds=37 * i),
                 "html": html,
                 "text": text,

@@ -97,3 +97,65 @@ def test_select_wave_budget_windows(spark):
     assert {h: len(v) for h, v in by_host.items()} == {"h0.x": 2, "h1.x": 1, "h2.x": 3}
     # each host's selection is its top-count rows
     assert sorted(by_host["h0.x"], reverse=True) == [100, 97]
+
+
+def test_multihost_crawl_budgets_and_seen_set(spark, tmp_path_factory):
+    """Common-Crawl-shaped world: pages spread over 8 mirror hosts via a
+    pluggable link resolver. Per-host budgets must cap each round's per-host
+    fetches, and the final URL-seen set must still equal the oracle's
+    (host routing must not change reachability)."""
+    from arxiv_crawler_spark.extraction.tei import extract_citations
+    from arxiv_crawler_spark.fixtures import (
+        N_HOSTS,
+        gen_seeds,
+        gen_world,
+        host_of_id,
+        multihost_resolver,
+        spark_pages,
+    )
+    from arxiv_crawler_spark.oracle.refcrawler import crawl_oracle, extraction_world, seen_set
+
+    n_docs = 50
+    world_pdf = gen_world(n_docs=n_docs, seed=42, multi_host=True)
+    pages = spark_pages(spark, world_pdf)
+    robots = spark.createDataFrame(
+        [(f"mirror{k}.example.org", 3.0, []) for k in range(N_HOSTS)],
+        "host string, crawl_delay double, disallow array<string>",
+    )
+    seeds = gen_seeds(n_docs)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("mh")),
+        pages,
+        CrawlConfig(
+            mode="wave",
+            max_papers=10_000,
+            wave_size=64,
+            round_seconds=6.0,  # budget 2 per host per round
+            n_buckets=8,
+            collect_host_lineage=True,
+        ),
+        robots=robots,
+        link_resolver=multihost_resolver,
+    )
+    eng.bootstrap(seeds)
+    results = eng.run(max_rounds=60)
+    assert results
+    for r in results:
+        assert r.waved <= 2 * N_HOSTS  # per-host budget of 2 really binds
+    assert any(r.politeness_deferred > 0 for r in results[:3])
+
+    # final seen set equals the oracle's, mapped through the host routing
+    world = extraction_world(
+        {
+            row["url"].rsplit("/", 1)[1]: extract_citations(row["html"])
+            for _, row in world_pdf.iterrows()
+        }
+    )
+    _, st = crawl_oracle(world, seeds, max_papers=10_000)
+    want = {
+        f"https://mirror{host_of_id(a)}.example.org/abs/{a}": s
+        for a, s in seen_set(st).items()
+    }
+    got = {r["url"]: r["status"] for r in eng.seen_statuses().collect()}
+    assert got == want
