@@ -787,6 +787,36 @@ from orders group by rollup(1, 2)
 """
 
 
+
+
+def q39_embedding_near_pairs(spark, sf):  # dedup-embedding-cosine
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ 0.35)."""
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", KNN.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+_SQL_Q39 = """
+with e as (select vec_id, embedding from embeddings where vec_id < 150)
+select a.vec_id as id_a, b.vec_id as id_b,
+       round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) as cos
+from e a join e b on a.vec_id < b.vec_id
+where list_sum(list_transform(generate_series(1, len(a.embedding)),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.35
+"""
+
+
 # ------------------------- rows-only (non-SQL-expressible) -----------------
 
 def x50_crawl_replay(spark, sf):
@@ -905,6 +935,7 @@ SPARK_QUERIES = {
     "q36_token_pair_cooccurrence": q36_token_pair_cooccurrence,
     "q37_json_serialize": q37_json_serialize,
     "q38_rollup": q38_rollup,
+    "q39_embedding_near_pairs": q39_embedding_near_pairs,
     "x50_crawl_replay": x50_crawl_replay,
     "x51_extract_tei": x51_extract_tei,
     "x52_knn_lsh": x52_knn_lsh,
@@ -953,4 +984,5 @@ ORACLE_SQL = {
     "q36_token_pair_cooccurrence": _SQL_Q36,
     "q37_json_serialize": _SQL_Q37,
     "q38_rollup": _SQL_Q38,
+    "q39_embedding_near_pairs": _SQL_Q39,
 }
