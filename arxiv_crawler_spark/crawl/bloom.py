@@ -1,4 +1,4 @@
-"""Sharded Bloom filter over the URL-seen set.
+"""Sharded Bloom filter over the URL-seen set — fully decentralized.
 
 The north_rule's "partitioned Bloom/cuckoo URL-seen filter": correctness is
 always the exact anti-join against the ``seen`` table (crawler.py:152's set
@@ -7,21 +7,40 @@ majority of genuinely-new links skip the expensive probe of a 10^10-row
 table. A link that misses the Bloom is **definitely unseen** (no false
 negatives); only Bloom hits continue into the exact anti-join.
 
-Sharding: keys are assigned to ``n_shards`` shards by ``hash mod n_shards``
-— the same bucketing as the frontier/seen storage layout, so at cluster
-scale each executor needs only the shard bitmaps co-located with its key
-range. Sizing for 10^10 keys at 1% FPP is ~12 GB of bitmap total — e.g.
-4096 shards × ~3 MB, far below executor memory; locally we default to a
-few MB. Bit positions use Kirsch-Mitzenmacher double hashing
+Data path (nothing ever flows through the driver):
+
+* **Shard files, COW per round.** The bitmap lives as one file per shard
+  (``bloom/shard_NNNNN.npz`` inside a snapshot dir); the manifest maps
+  shard id → file, exactly like the frontier's COW buckets. Shards are
+  keyed by ``pmod(url_hash, n_shards)`` — the same bucketing as the
+  frontier/seen layout, so each executor touches only the shard bitmaps
+  co-located with its key range.
+* **Executor-side update** (``update_bloom_shards``): the round's newly
+  seen hashes are shuffled by shard; each task loads its shard's previous
+  bitmap from shared storage, ORs the new bits in, and writes the new
+  shard file into the snapshot dir (atomic tmp+rename). Only (shard id,
+  path) rows — ≤ n_shards of them — return to the driver.
+* **Executor-side probe** (``bloom_prefilter``): candidate links are
+  repartitioned by shard; each task lazily loads only the shard bitmaps
+  its partition needs and filters in place. No whole-bitmap broadcast —
+  at the 10^10-key sizing (~12 GB of bitmap) a per-round broadcast would
+  be the scale-killer; per-task shard loads are a few MB each.
+
+Sizing for 10^10 keys at 1% FPP is ~12 GB of bitmap total — e.g. 4096
+shards × ~3 MB. Bit positions use Kirsch-Mitzenmacher double hashing
 (g_i = h1 + i·h2 mod m) derived from the 64-bit url_hash, fully
-numpy-vectorized.
+numpy-vectorized; positions are independent of the shard assignment, so a
+shard file is simply one row of the logical full bitmap.
 """
 
 from __future__ import annotations
 
+import os
+from typing import Iterator
+
 import numpy as np
 
-__all__ = ["ShardedBloom"]
+__all__ = ["ShardedBloom", "update_bloom_shards", "bloom_prefilter"]
 
 _MIX1 = np.uint64(0xFF51AFD7ED558CCD)
 _MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
@@ -89,3 +108,120 @@ class ShardedBloom:
         b = cls(int(z["n_shards"]), int(z["m"]), int(z["k"]))
         b.bits = z["bits"]
         return b
+
+
+# ---------------------------------------------------------------------------
+# distributed shard-file layer (executor-side update + probe)
+# ---------------------------------------------------------------------------
+
+def _pmod(h: np.ndarray, n: int) -> np.ndarray:
+    """Spark-pmod over int64 (always non-negative) — the shard key must
+    match the Spark-side ``F.pmod(url_hash, n_shards)`` repartition key."""
+    return ((h % n) + n) % n
+
+
+def _load_shard(base_path: str, rel: str | None, bits_per_shard: int, n_hashes: int) -> ShardedBloom:
+    """One shard as a 1-shard filter: bit positions depend only on the key
+    (never on the shard id), so row s of the logical bitmap behaves
+    identically inside a ShardedBloom(1, ...)."""
+    b = ShardedBloom(1, bits_per_shard, n_hashes)
+    if rel:
+        z = np.load(os.path.join(base_path, rel))
+        b.bits = z["bits"]
+    return b
+
+
+def update_bloom_shards(
+    hashes_df,
+    base_path: str,
+    shard_map: dict[str, str],
+    snap: str,
+    n_shards: int,
+    bits_per_shard: int,
+    n_hashes: int = 7,
+) -> dict[str, str]:
+    """OR a round's newly-seen hashes into the shard bitmaps, executor-side.
+
+    ``hashes_df``: DataFrame with an ``url_hash`` long column. Each touched
+    shard is handled by exactly one task (applyInPandas group): load the
+    previous shard file (COW — never mutated), add the new keys, write the
+    new file into ``{snap}/bloom/`` atomically. Returns the merged
+    shard-id → file map (untouched shards carry forward by reference).
+    Idempotent under task retry and under a crashed round re-run: the file
+    content is a pure function of (previous map, group contents).
+    """
+    import pandas as pd  # noqa: F401  (executor-side dependency)
+    from pyspark.sql import functions as F
+
+    bmap = dict(shard_map or {})
+
+    def upd(key, pdf):
+        import pandas as pd
+
+        shard = int(key[0])
+        b = _load_shard(base_path, bmap.get(str(shard)), bits_per_shard, n_hashes)
+        b.add(pdf["url_hash"].to_numpy(np.int64))
+        rel = f"{snap}/bloom/shard_{shard:05d}.npz"
+        path = os.path.join(base_path, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        np.savez_compressed(tmp, bits=b.bits, m=bits_per_shard, k=n_hashes, n_shards=1)
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "path": [rel], "added": [len(pdf)]})
+
+    rows = (
+        hashes_df.select(
+            "url_hash", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("_shard")
+        )
+        .groupBy("_shard")
+        .applyInPandas(upd, "shard int, path string, added long")
+        .collect()
+    )
+    for r in rows:
+        bmap[str(r["shard"])] = r["path"]
+    return bmap
+
+
+def bloom_prefilter(
+    links,
+    base_path: str,
+    shard_map: dict[str, str],
+    n_shards: int,
+    bits_per_shard: int,
+    n_hashes: int = 7,
+    keep_hits: bool = True,
+):
+    """Membership pre-filter against the shard files, executor-side.
+
+    Links are repartitioned on the shard key so each task loads only its
+    co-located shard bitmaps (lazily, cached per task). ``keep_hits=True``
+    keeps *maybe seen* rows (Bloom hits → must be exact-checked);
+    ``keep_hits=False`` keeps *definitely unseen* rows.
+    """
+    from pyspark.sql import functions as F
+
+    bmap = dict(shard_map or {})
+    schema = links.schema
+    sess = links.sparkSession
+    n_parts = max(1, min(n_shards, sess.sparkContext.defaultParallelism))
+
+    def run(batches: Iterator) -> Iterator:
+        cache: dict[int, ShardedBloom] = {}
+
+        def get(s: int) -> ShardedBloom:
+            if s not in cache:
+                cache[s] = _load_shard(base_path, bmap.get(str(s)), bits_per_shard, n_hashes)
+            return cache[s]
+
+        for pdf in batches:
+            h = pdf["url_hash"].to_numpy(np.int64)
+            shards = _pmod(h, n_shards)
+            mask = np.zeros(len(h), dtype=bool)
+            for s in np.unique(shards):
+                sel = shards == s
+                mask[sel] = get(int(s)).contains(h[sel])
+            yield pdf[mask if keep_hits else ~mask]
+
+    return links.repartition(
+        n_parts, F.pmod(F.col("url_hash"), F.lit(n_shards))
+    ).mapInPandas(run, schema=schema)

@@ -40,6 +40,7 @@ __all__ = [
 _SEQ_ROUND_SHIFT = 42
 _SEQ_RANK_SHIFT = 21
 _SEQ_FIELD_MAX = (1 << 21) - 1
+_SEQ_ROUND_MAX = (1 << 20) - 1
 
 
 def priority_order(phase: str) -> list[Column]:
@@ -57,14 +58,42 @@ def priority_order(phase: str) -> list[Column]:
 
 
 def encode_seq(round_no: Column | int, pop_rank: Column | int, bib_index: Column | int) -> Column:
+    """Pack (round, pop_rank, bib_index) into an int64 queue position.
+
+    Field bounds are enforced: python ints are validated eagerly; column
+    inputs get a JVM-side ``assert_true`` guard (a silent overflow of
+    pop_rank into the round bits would corrupt discovery_seq ordering and
+    replay determinism)."""
+    if isinstance(round_no, int) and not (0 <= round_no <= _SEQ_ROUND_MAX):
+        raise ValueError(f"encode_seq: round {round_no} out of [0, {_SEQ_ROUND_MAX}]")
+    if isinstance(pop_rank, int) and not (0 <= pop_rank <= _SEQ_FIELD_MAX):
+        raise ValueError(f"encode_seq: pop_rank {pop_rank} out of [0, {_SEQ_FIELD_MAX}]")
+    if isinstance(bib_index, int) and not (0 <= bib_index <= _SEQ_FIELD_MAX):
+        raise ValueError(f"encode_seq: bib_index {bib_index} out of [0, {_SEQ_FIELD_MAX}]")
     r = F.lit(round_no) if isinstance(round_no, int) else round_no
     p = F.lit(pop_rank) if isinstance(pop_rank, int) else pop_rank
     b = F.lit(bib_index) if isinstance(bib_index, int) else bib_index
-    return (
+    seq = (
         F.shiftleft(r.cast("long"), _SEQ_ROUND_SHIFT)
         + F.shiftleft(p.cast("long"), _SEQ_RANK_SHIFT)
         + b.cast("long")
     )
+    # runtime guard on column-valued fields: assert_true yields NULL when the
+    # bounds hold (so the coalesce is a no-op) and raises on overflow
+    checks = []
+    if not isinstance(round_no, int):
+        checks.append((r >= 0) & (r <= _SEQ_ROUND_MAX))
+    if not isinstance(pop_rank, int):
+        checks.append((p >= 0) & (p <= _SEQ_FIELD_MAX))
+    if not isinstance(bib_index, int):
+        checks.append((b >= 0) & (b <= _SEQ_FIELD_MAX))
+    if checks:
+        cond = checks[0]
+        for c in checks[1:]:
+            cond = cond & c
+        guard = F.assert_true(cond, F.lit("encode_seq field overflow (>2^21-1 rank/bib or >2^20-1 round)"))
+        seq = F.coalesce(guard.cast("long"), seq)
+    return seq
 
 
 def merge_seeds(frontier: DataFrame, seen: DataFrame, seeds: DataFrame, round_no: int) -> DataFrame:
@@ -135,55 +164,114 @@ def select_wave(
 
     Returns wave rows + ``pop_rank`` (1-based, priority order).
     """
+    if wave_cap > _SEQ_FIELD_MAX:
+        raise ValueError(
+            f"wave_cap {wave_cap} exceeds the encode_seq pop_rank field ({_SEQ_FIELD_MAX})"
+        )
     order = priority_order(phase)
     cand = frontier
 
-    # Large waves: a global sort+limit funnels partitions×K rows through one
-    # reducer. Instead, estimate the K-th priority by quantile, pre-filter
-    # the frontier to ~3K candidates (one parallel pass), then take the
-    # exact top-K among them. Falls back to the full frontier if the
-    # estimate under-collects. Only a scan-efficiency move — rows beyond
-    # the threshold would be deferred to later rounds regardless.
-    if wave_cap >= threshold_prefilter_min and frontier_size is None:
-        # parquet count(*) is footer-metadata-only — cheap even at scale
-        frontier_size = frontier.count()
-    if (
-        wave_cap >= threshold_prefilter_min
-        and frontier_size
-        and frontier_size > 4 * wave_cap
-    ):
+    def _quantile_prefilter(c: DataFrame, size_hint: int) -> DataFrame:
+        """Estimate the K-th priority by quantile and cut the candidates to
+        ~3K rows before the global top-K — avoids funneling partitions×K
+        rows through one reducer. Scan-efficiency only: candidates beyond
+        the threshold would be deferred to later rounds regardless. Falls
+        back to everything if the estimate under-collects (heavy ties)."""
         key = _scalar_priority(phase)
-        keyed = cand.withColumn("_pk", key)
-        frac = min(1.0, 3.0 * wave_cap / frontier_size)
+        keyed = c.withColumn("_pk", key)
+        frac = min(1.0, 3.0 * wave_cap / size_hint)
         thr = keyed.stat.approxQuantile("_pk", [frac], 0.02)[0]
         filtered = keyed.filter(F.col("_pk") <= thr).drop("_pk")
         if filtered.limit(wave_cap).count() >= wave_cap:
-            cand = filtered
-        else:  # estimate under-collected (heavy ties) — use everything
-            cand = keyed.drop("_pk")
-
-    if host_budgets is not None:
-        cand = cand.join(F.broadcast(host_budgets), "host", "left").withColumn(
-            "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
-        )
-    else:
-        cand = cand.withColumn("budget", F.lit(default_budget))
+            return filtered
+        return keyed.drop("_pk")
 
     # the per-host windows can only bind when some host's budget is below
     # the global cap — with a uniform budget ≥ wave_cap they are provably
     # no-ops, so skip the two window shuffles entirely
     budgets_can_bind = host_budgets is not None or default_budget < wave_cap
+    want_prefilter = wave_cap >= threshold_prefilter_min
+    if want_prefilter and frontier_size is None:
+        # parquet count(*) is footer-metadata-only — cheap even at scale
+        frontier_size = frontier.count()
+    large = bool(want_prefilter and frontier_size and frontier_size > 4 * wave_cap)
+
     if wave_cap > 1 and budgets_can_bind:
+        # budgets first, prefilter second: a priority-only prefilter ahead
+        # of binding budgets could be dominated by a few hot hosts whose
+        # rows are then cut to `budget` each, under-filling the wave while
+        # eligible rows on other hosts were filtered away. Post-budget, the
+        # prefilter is a pure scan-efficiency move again (its under-collect
+        # fallback is also checked post-budget, so wave composition is
+        # identical to the unfiltered path).
+        if host_budgets is not None:
+            cand = cand.join(F.broadcast(host_budgets), "host", "left").withColumn(
+                "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
+            )
+        else:
+            cand = cand.withColumn("budget", F.lit(default_budget))
         salt = F.pmod(F.xxhash64("url_hash"), F.lit(salt_factor))
         w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
         cand = cand.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= F.col("budget"))
         w2 = Window.partitionBy("host").orderBy(*order)
         cand = cand.withColumn("_r2", F.row_number().over(w2)).filter(F.col("_r2") <= F.col("budget"))
         cand = cand.drop("_r1", "_r2")
+        if large:
+            cand = _quantile_prefilter(cand, frontier_size)
+    elif large:
+        cand = _quantile_prefilter(cand, frontier_size)
 
+    if want_prefilter:
+        # large waves: exact global rank without any single-task funnel
+        return _two_level_rank(cand, order, wave_cap).drop("budget")
     wave = cand.orderBy(*order).limit(wave_cap)
     wr = Window.orderBy(*order)  # wave is ≤ wave_cap rows — single-partition window is fine
     return wave.withColumn("pop_rank", F.row_number().over(wr)).drop("budget")
+
+
+def _two_level_rank(cand: DataFrame, order: list[Column], wave_cap: int) -> DataFrame:
+    """Exact global priority rank with no single-partition window: range-
+    partition the candidates by the priority order (explicit partition
+    count, so AQE never re-coalesces it), rank *within* each range
+    partition, then add the per-partition row-count offsets (one tiny
+    collect of ≤ n_parts rows). The result equals
+    ``orderBy(*order).limit(wave_cap)`` + a global row_number, but every
+    stage is parallel — this is the 10M+-row-wave path.
+
+    Determinism: ranks are a pure function of the total order (the order
+    keys end in the unique ``discovery_seq``), independent of where the
+    range boundaries fall; RangePartitioner's sampling is itself
+    deterministic (seeded by partition index), so the offsets collected
+    here match the final evaluation.
+    """
+    sess = cand.sparkSession
+    n_parts = max(2, sess.sparkContext.defaultParallelism)
+    parts = cand.repartitionByRange(n_parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    r = parts.withColumn("_lr", F.row_number().over(w))
+    counts = sorted(
+        (row["_pid"], row["c"])
+        for row in r.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    omap = (
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+        if offsets
+        else F.create_map()
+    )
+    return (
+        r.withColumn(
+            "pop_rank", (F.col("_lr") + F.coalesce(omap[F.col("_pid")], F.lit(0))).cast("int")
+        )
+        .filter(F.col("pop_rank") <= wave_cap)
+        .drop("_pid", "_lr")
+    )
 
 
 def merge_frontier(

@@ -26,6 +26,11 @@ Scale notes (local[32] here, 1000 executors at 100 TB):
 * the seen-set anti-join probes only links that survive the sharded Bloom
   pre-filter; seen deltas are written hash-bucketed and sorted by url_hash
   so parquet row-group stats prune the probe scan.
+* the Bloom itself is fully decentralized (crawl/bloom.py): per-bucket
+  bitmap shard files updated AND probed executor-side, COW per round —
+  no per-row driver collects and no whole-bitmap broadcast anywhere in
+  the round loop (at 10^10-key sizing the bitmap is ~12 GB; broadcasting
+  it per round would be the scale-killer).
 * frontier commits rewrite only changed hash buckets (COW manifests).
 """
 
@@ -36,13 +41,12 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arxiv_crawler_spark.crawl import politeness as pol
-from arxiv_crawler_spark.crawl.bloom import ShardedBloom
+from arxiv_crawler_spark.crawl.bloom import bloom_prefilter
 from arxiv_crawler_spark.crawl.frontier import (
     encode_seq,
     merge_frontier,
@@ -116,7 +120,12 @@ class CrawlEngine:
         ids to their hosts (see fixtures.multihost_resolver)."""
         self.spark = spark
         self.cfg = config or CrawlConfig()
-        self.store = SnapshotStore(store_path, spark, n_buckets=self.cfg.n_buckets)
+        self.store = SnapshotStore(
+            store_path,
+            spark,
+            n_buckets=self.cfg.n_buckets,
+            bloom_bits_per_shard=self.cfg.bloom_bits_per_shard,
+        )
         self.pages = pages
         self.robots = robots
         self.link_resolver = link_resolver or arxiv_id_to_url
@@ -161,23 +170,23 @@ class CrawlEngine:
                 m["failed_count"],
                 m["total_pops"],
             )
-            bloom = self.store.bloom(m)
+            bloom_active = self.store.bloom_shards(m) is not None
         else:
             frontier, seen = self.store._empty_frontier(), self.store._empty_seen()
             round_no, processed, failed, pops = 0, 0, 0, 0
-            bloom = (
-                ShardedBloom(self.cfg.n_buckets, self.cfg.bloom_bits_per_shard)
-                if self.cfg.use_bloom
-                else None
-            )
+            bloom_active = False
 
         new_frontier = merge_seeds(frontier, seen, seeds, round_no)
         denied_rows = denied.select(
             "url_hash", "url", F.lit("robots_denied").alias("status")
         ).join(seen.select("url_hash"), "url_hash", "left_anti")
-        if bloom is not None:
-            dh = np.array([r[0] for r in denied_rows.select("url_hash").collect()], dtype=np.int64)
-            bloom.add(dh)
+        # an already-active bloom gains the denied seeds (executor-side);
+        # an inactive one activates lazily in run_round once seen is large
+        bloom_delta = (
+            denied_rows.select("url_hash")
+            if (self.cfg.use_bloom and bloom_active and self.robots is not None)
+            else None
+        )
 
         # one agg: per-bucket sizes → manifest bookkeeping (saves a count
         # job every subsequent round)
@@ -205,7 +214,7 @@ class CrawlEngine:
             frontier_changed=new_frontier,
             changed_buckets=None,  # full rewrite at bootstrap
             seen_delta=denied_rows if self.robots is not None else None,
-            bloom=bloom,
+            bloom_delta=bloom_delta,
             meta={
                 "processed_count": processed,
                 "failed_count": failed,
@@ -319,12 +328,20 @@ class CrawlEngine:
         )
         links_ok, links_denied = pol.split_robots_denied(links, self.robots)
 
-        # 6. seen-set dedupe (J1): Bloom pre-filter, then exact anti-join
-        bloom = self.store.bloom(m) if self.cfg.use_bloom else None
+        # 6. seen-set dedupe (J1): Bloom pre-filter, then exact anti-join.
+        # The bloom lives as per-bucket shard files probed executor-side
+        # (crawl/bloom.py) — no driver collect, no whole-bitmap broadcast.
+        bloom_shards = self.store.bloom_shards(m) if self.cfg.use_bloom else None
         n_seen_approx = total_pops + failed_count  # upper bound on |seen|
-        if bloom is not None and n_seen_approx >= self.cfg.bloom_min_seen:
-            maybe_seen = self._bloom_filter_links(links_ok, bloom, True)
-            surely_new = self._bloom_filter_links(links_ok, bloom, False)
+        if bloom_shards is not None:
+            maybe_seen = bloom_prefilter(
+                links_ok, self.store.path, bloom_shards, self.cfg.n_buckets,
+                self.cfg.bloom_bits_per_shard, keep_hits=True,
+            )
+            surely_new = bloom_prefilter(
+                links_ok, self.store.path, bloom_shards, self.cfg.n_buckets,
+                self.cfg.bloom_bits_per_shard, keep_hits=False,
+            )
             checked = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")
             unseen = surely_new.unionByName(checked)
         else:
@@ -360,24 +377,23 @@ class CrawlEngine:
         n_links = int(stats["links"])
         _mark("fetch+extract+stats")
 
-        # wave hashes: reused for bloom update and changed-bucket set
-        wave_hashes = np.array(
-            [r[0] for r in wave.select("url_hash").collect()], dtype=np.int64
-        ) if (self.cfg.use_bloom or self.cfg.exact_lineage) else np.empty(0, dtype=np.int64)
-        _mark("wave hash collect")
-
         if self.cfg.exact_lineage:
-            # one small agg on disc: per-bucket occurrence sums → changed buckets
+            # two small aggs (≤ n_buckets rows each): per-bucket discovery
+            # sums + wave buckets → changed-bucket set. Aggregated driver
+            # results only — never per-row collects.
             disc_buckets = {
                 int(r["b"]): (int(r["occ"]), int(r["keys"]))
                 for r in disc.groupBy(bucket_col.alias("b"))
                 .agg(F.sum("occ").alias("occ"), F.count(F.lit(1)).alias("keys"))
                 .collect()
             }
+            wave_buckets = {
+                int(r["b"])
+                for r in wave.groupBy(bucket_col.alias("b")).agg(F.count(F.lit(1))).collect()
+            }
+            _mark("bucket aggs")
             n_new = sum(o for o, _ in disc_buckets.values())
-            changed = sorted(
-                set(disc_buckets) | {int(h) % self.cfg.n_buckets for h in wave_hashes.tolist()}
-            )
+            changed = sorted(set(disc_buckets) | wave_buckets)
         else:
             n_new = -1
             changed = None  # full rewrite, no COW tracking (throughput mode)
@@ -422,7 +438,6 @@ class CrawlEngine:
         seen_delta = wave.select("url_hash", "url").join(
             fetched.select("url_hash", "status"), "url_hash"
         )
-        denied_hashes = np.empty(0, dtype=np.int64)
         if self.robots is not None:
             denied_new = (
                 links_denied.select("url_hash", "url")
@@ -432,10 +447,7 @@ class CrawlEngine:
                 .withColumn("status", F.lit("robots_denied"))
                 .cache()
             )
-            denied_hashes = np.array(
-                [r[0] for r in denied_new.select("url_hash").collect()], dtype=np.int64
-            )
-            n_denied = len(denied_hashes)
+            n_denied = denied_new.count()
             seen_delta = seen_delta.unionByName(denied_new)
 
         # occurrences not newly queued (already seen, in-wave, or denied)
@@ -453,11 +465,18 @@ class CrawlEngine:
                     lineage_hosts[r["host"]] = d
                     deferred += d
 
-        # bloom gains everything newly seen this round
-        if bloom is not None:
-            bloom.add(wave_hashes)
-            if n_denied:
-                bloom.add(denied_hashes)
+        # bloom gains everything newly seen this round (executor-side, COW
+        # shard files — see crawl/bloom.py). Inactive → activate lazily by
+        # folding the ENTIRE seen set in once the exact anti-join probe is
+        # expensive enough to be worth pre-filtering (bloom_min_seen).
+        bloom_delta = None
+        if self.cfg.use_bloom:
+            if bloom_shards is not None:
+                bloom_delta = seen_delta.select("url_hash")
+            elif n_seen_approx + waved >= self.cfg.bloom_min_seen:
+                bloom_delta = seen.select("url_hash").unionByName(
+                    seen_delta.select("url_hash")
+                )
 
         fetched_out = fetched.select(
             "url_hash",
@@ -500,7 +519,7 @@ class CrawlEngine:
             seen_delta=seen_delta,
             fetched_delta=fetched_out,
             edges_delta=edges_out,
-            bloom=bloom,
+            bloom_delta=bloom_delta,
             meta={
                 "processed_count": new_processed,
                 "failed_count": new_failed,
@@ -530,22 +549,6 @@ class CrawlEngine:
         )
 
 
-    def _bloom_filter_links(self, links: DataFrame, bloom: ShardedBloom, keep_hits: bool) -> DataFrame:
-        """mapInPandas membership test against the sharded Bloom bitmaps
-        (broadcast to executors once per round)."""
-        bc = self.spark.sparkContext.broadcast({"bits": bloom.bits, "m": int(bloom.m), "k": bloom.k, "n": bloom.n_shards})
-        schema = links.schema
-
-        def part(batches):
-            b = bc.value
-            f = ShardedBloom(b["n"], b["m"], b["k"])
-            f.bits = b["bits"]
-            for pdf in batches:
-                mask = f.contains(pdf["url_hash"].to_numpy(dtype=np.int64))
-                yield pdf[mask if keep_hits else ~mask]
-
-        return links.mapInPandas(part, schema=schema)
-
     # ---------------------------------------------------------------- run
     def run(self, max_rounds: int | None = None) -> list[RoundResult]:
         results: list[RoundResult] = []
@@ -567,6 +570,79 @@ class CrawlEngine:
             "phase",
             "status",
         ).orderBy("order")
+
+    def status_summary(self) -> DataFrame:
+        """Crawler-status header (browser/app.py:419-514): one row of
+        processed/failed/queued counts + round, straight from the manifest
+        (no table scan — the lineage counters ARE the status)."""
+        m = self.store.manifest()
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(m["round"]),
+                    int(m["processed_count"]),
+                    int(m["failed_count"]),
+                    int(m["frontier_size"]),
+                    int(m["total_pops"]),
+                )
+            ],
+            "round int, processed_count long, failed_count long, queued_count long, total_pops long",
+        )
+
+    def dataset_status(self, sort: str = "cited_by") -> DataFrame:
+        """In-dataset papers view (app.py:446-475): per processed url, the
+        internal vs external citation split (P3 membership against the
+        crawled set) and the cited-by count (J7 reverse index), sorted like
+        the reference's ``dataset_sort`` modes."""
+        processed = self.store.fetched().filter(F.col("status") == "processed")
+        proc_urls = processed.select(F.col("url").alias("p_url")).distinct()
+        edges = self.store.edges().withColumn(
+            "cited_url",
+            F.when(
+                F.col("cited_arxiv_id").isNotNull(),
+                canonicalize_url(self.link_resolver(F.col("cited_arxiv_id"))),
+            ),
+        )
+        # internal = cited paper is itself in the crawled dataset (app.py:448)
+        flagged = edges.join(
+            F.broadcast(proc_urls), edges.cited_url == proc_urls.p_url, "left"
+        ).withColumn("is_internal", F.col("p_url").isNotNull())
+        per_citer = flagged.groupBy(F.col("citing_url").alias("url")).agg(
+            F.sum(F.when(F.col("is_internal"), 1).otherwise(0)).alias("internal_citations"),
+            F.sum(F.when(F.col("is_internal"), 0).otherwise(1)).alias("external_citations"),
+        )
+        cited_by = (
+            flagged.filter(F.col("is_internal"))
+            .groupBy(F.col("cited_url").alias("url"))
+            .agg(F.count(F.lit(1)).alias("cited_by"))
+        )
+        out = (
+            processed.select("url", "global_order")
+            .join(per_citer, "url", "left")
+            .join(cited_by, "url", "left")
+            .fillna(0, ["internal_citations", "external_citations", "cited_by"])
+        )
+        orders = {
+            "cited_by": [F.desc("cited_by"), F.asc("url")],
+            "internal": [F.desc("internal_citations"), F.asc("url")],
+            "external": [F.desc("external_citations"), F.asc("url")],
+            "id": [F.asc("url")],
+            "crawled": [F.asc("global_order")],
+        }
+        return out.orderBy(*orders[sort]).select(
+            "url", "internal_citations", "external_citations", "cited_by"
+        )
+
+    def queued_status(self, sort: str = "priority") -> DataFrame:
+        """Pending-queue view (app.py:477-498): frontier rows with their
+        (priority=count, depth) sorted like the reference's ``queued_sort``."""
+        f = self.store.frontier()
+        orders = {
+            "priority": [F.desc("count"), F.asc("url")],
+            "depth": [F.asc("depth"), F.desc("count"), F.asc("url")],
+            "id": [F.asc("url")],
+        }
+        return f.select("url", F.col("count").alias("priority"), "depth").orderBy(*orders[sort])
 
     def seen_statuses(self) -> DataFrame:
         """Final URL-seen set: processed ∪ failed ∪ still-queued

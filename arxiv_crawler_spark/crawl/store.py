@@ -14,11 +14,14 @@ interface an Iceberg catalog can replace verbatim:
   "resume exactly from a checkpoint" contract (vs. the reference, which
   rewrites its whole JSON state after every paper, crawler.py:76-85,266).
 
-* **Append-only logs.** ``seen`` is a chain of per-round delta directories
-  (a popped URL's status never changes — failed ids are never retried,
-  crawler.py:261-263 — so seen needs no compaction, only union). ``fetched``
-  and ``edges`` are round-partitioned appends (≙ papers.jsonl /
-  citations.jsonl append logs, crawler.py:188-193).
+* **Append-only logs.** ``seen``, ``fetched`` and ``edges`` are chains of
+  per-round delta directories (≙ papers.jsonl / citations.jsonl append
+  logs, crawler.py:188-193; a popped URL's status never changes — failed
+  ids are never retried, crawler.py:261-263). Every delta lives *inside
+  its snapshot directory* and becomes visible only via the manifest flip:
+  a crash after the data writes but before the flip leaves orphan files in
+  an unreferenced snapshot dir, which the re-run clobbers — appends can
+  never duplicate rows.
 
 Per-partition lineage counters (frontier size per bucket, fetched, deduped,
 politeness-deferred per host) live in each snapshot's manifest.
@@ -35,7 +38,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arxiv_crawler_spark.crawl.bloom import ShardedBloom
+from arxiv_crawler_spark.crawl.bloom import update_bloom_shards
 
 __all__ = ["SnapshotStore"]
 
@@ -49,10 +52,16 @@ class SnapshotStore:
         spark: SparkSession,
         n_buckets: int = 32,
         compact_seen_after: int = 48,
+        bloom_bits_per_shard: int = 1 << 20,
+        bloom_hashes: int = 7,
     ):
         self.path = path
         self.spark = spark
         self.n_buckets = n_buckets
+        # bloom shard files reuse the bucket count so bitmap shards are
+        # co-located with their seen/frontier key ranges
+        self.bloom_bits_per_shard = bloom_bits_per_shard
+        self.bloom_hashes = bloom_hashes
         # the seen log is a delta chain, one dir per round; past this many
         # deltas a commit folds them into a single hash-sorted dir so the
         # anti-join probe scan stays O(1) directories (Iceberg compaction)
@@ -92,18 +101,25 @@ class SnapshotStore:
             return self._empty_seen()
         return self.spark.read.parquet(*paths)
 
-    def fetched(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "fetched"))
-
-    def edges(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "edges"))
-
-    def bloom(self, manifest: dict[str, Any] | None = None) -> ShardedBloom | None:
+    def fetched(self, manifest: dict[str, Any] | None = None) -> DataFrame:
         m = manifest or self.manifest()
-        bf = m.get("bloom_file")
-        if not bf:
-            return None
-        return ShardedBloom.load(os.path.join(self.path, bf))
+        paths = [os.path.join(self.path, d) for d in m.get("fetched_deltas", [])]
+        if not paths:
+            raise FileNotFoundError("no fetched data committed yet")
+        return self.spark.read.parquet(*paths)
+
+    def edges(self, manifest: dict[str, Any] | None = None) -> DataFrame:
+        m = manifest or self.manifest()
+        paths = [os.path.join(self.path, d) for d in m.get("edges_deltas", [])]
+        if not paths:
+            raise FileNotFoundError("no edges committed yet")
+        return self.spark.read.parquet(*paths)
+
+    def bloom_shards(self, manifest: dict[str, Any] | None = None) -> dict[str, str] | None:
+        """Shard-id → bitmap-file map, or None while the Bloom is inactive
+        (it activates lazily once the seen set is big enough to pay off)."""
+        m = manifest or self.manifest()
+        return m.get("bloom_shards")
 
     def _empty_frontier(self) -> DataFrame:
         return self.spark.createDataFrame(
@@ -121,7 +137,9 @@ class SnapshotStore:
         return (
             any(p.startswith(snap + "/") for p in m["frontier_buckets"].values())
             or any(p.startswith(snap + "/") for p in m["seen_deltas"])
-            or (m.get("bloom_file") or "").startswith(snap + "/")
+            or any(p.startswith(snap + "/") for p in m.get("fetched_deltas", []))
+            or any(p.startswith(snap + "/") for p in m.get("edges_deltas", []))
+            or any(p.startswith(snap + "/") for p in (m.get("bloom_shards") or {}).values())
         )
 
     # ------------------------------------------------------------ commit
@@ -134,7 +152,7 @@ class SnapshotStore:
         seen_delta: DataFrame | None,
         fetched_delta: DataFrame | None = None,
         edges_delta: DataFrame | None = None,
-        bloom: ShardedBloom | None = None,
+        bloom_delta: DataFrame | None = None,
         meta: dict[str, Any] | None = None,
         tag: str = "",
     ) -> dict[str, Any]:
@@ -145,6 +163,10 @@ class SnapshotStore:
         forward by manifest reference. ``changed_buckets=None`` means a
         full rewrite (bootstrap / compaction). ``tag`` distinguishes
         multiple snapshots at the same round number (e.g. re-seeding).
+
+        ``bloom_delta`` (an ``url_hash`` DataFrame) is OR-ed into the bloom
+        shard files executor-side (COW per shard, see crawl/bloom.py);
+        passing it for the first time activates the Bloom.
 
         A pre-existing snapshot directory is a crashed previous attempt
         (its manifest was never flipped) and is clobbered — unless the
@@ -160,6 +182,8 @@ class SnapshotStore:
         os.makedirs(snap_abs, exist_ok=True)
         buckets: dict[str, str] = dict(prev["frontier_buckets"]) if prev else {}
         seen_deltas: list[str] = list(prev["seen_deltas"]) if prev else []
+        fetched_deltas: list[str] = list(prev.get("fetched_deltas", [])) if prev else []
+        edges_deltas: list[str] = list(prev.get("edges_deltas", [])) if prev else []
 
         # the four data writes are independent jobs → submit them from
         # threads so their stages overlap (Spark schedules concurrent jobs
@@ -196,17 +220,39 @@ class SnapshotStore:
             )
             seen_deltas.append(sdir)
         if fetched_delta is not None:
+            fdir2 = f"{snap}/fetched"
             jobs.append(
                 lambda: fetched_delta.coalesce(16)
-                .write.mode("append")
-                .parquet(os.path.join(self.path, "fetched", f"round={round_no}"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.path, fdir2))
             )
+            fetched_deltas.append(fdir2)
         if edges_delta is not None:
+            edir = f"{snap}/edges"
             jobs.append(
                 lambda: edges_delta.coalesce(16)
-                .write.mode("append")
-                .parquet(os.path.join(self.path, "edges", f"round={round_no}"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.path, edir))
             )
+            edges_deltas.append(edir)
+        bloom_shards = (dict(prev.get("bloom_shards") or {}) if prev else {}) or None
+        if bloom_delta is not None:
+            # 5th parallel job: executor-side shard update; only the merged
+            # (shard → file) map comes back to the driver
+            def write_bloom():
+                nonlocal bloom_shards
+                bloom_shards = update_bloom_shards(
+                    bloom_delta,
+                    self.path,
+                    bloom_shards or {},
+                    snap,
+                    self.n_buckets,
+                    self.bloom_bits_per_shard,
+                    self.bloom_hashes,
+                )
+
+            jobs.append(write_bloom)
+
         if jobs:
             with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
                 futures = [ex.submit(j) for j in jobs]
@@ -238,17 +284,14 @@ class SnapshotStore:
             )
             seen_deltas = [cdir]
 
-        bloom_file = prev.get("bloom_file") if prev else None
-        if bloom is not None:
-            bloom_file = f"{snap}/bloom.npz"
-            bloom.save(os.path.join(self.path, bloom_file))
-
         m = {
             "round": round_no,
             "snapshot": snap,
             "frontier_buckets": buckets,
             "seen_deltas": seen_deltas,
-            "bloom_file": bloom_file,
+            "fetched_deltas": fetched_deltas,
+            "edges_deltas": edges_deltas,
+            "bloom_shards": bloom_shards,
             **(meta or {}),
         }
         self._write_manifest(m)

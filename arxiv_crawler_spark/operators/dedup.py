@@ -30,8 +30,11 @@ __all__ = [
     "minhash_signature",
     "exact_dedup",
     "lsh_candidate_pairs",
+    "lsh_oversized_buckets",
     "jaccard_pairs",
     "simhash32",
+    "hamming32",
+    "simhash_near_pairs",
 ]
 
 
@@ -69,25 +72,14 @@ def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-    bands: int = 4,
-) -> DataFrame:
-    """MinHash-LSH candidate pairs (a < b), deduplicated across bands.
-
-    Plan shape: signature (narrow) → posexplode into ``bands`` band keys →
-    shuffle on (band_idx, band_hash) → within-bucket self-join. Only bucket
-    contents are ever joined; the full pair space is never materialized.
-    """
+def _banded(df: DataFrame, id_col: str, text_col: str, k: int, bands: int) -> DataFrame:
+    """(id, band_hash) rows: minhash signature → per-band hash keys.
+    The band index is baked into the band hash so buckets join on one key."""
     rows = k // bands
     sig = df.select(
         F.col(id_col).alias("id"), minhash_signature(shingles(F.col(text_col)), k).alias("sig")
     )
-    # band index is baked into the band hash so buckets join on one key
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -103,6 +95,39 @@ def lsh_candidate_pairs(
             )
         ).alias("band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a < b), deduplicated across bands.
+
+    Plan shape: signature (narrow) → posexplode into ``bands`` band keys →
+    shuffle on (band_idx, band_hash) → within-bucket self-join. Only bucket
+    contents are ever joined; the full pair space is never materialized.
+
+    **Bucket cap** (100-TB guard): a boilerplate-heavy corpus can put 10^6
+    docs in one band bucket, turning the within-bucket self-join into 10^12
+    rows. Buckets larger than ``max_bucket`` are dropped from the pair join
+    (their members are near-identical boilerplate, better handled by exact
+    dedup on the band key itself); audit the dropped volume with
+    ``lsh_oversized_buckets``. ``max_bucket=None`` disables the cap.
+    """
+    banded = _banded(df, id_col, text_col, k, bands)
+    if max_bucket is not None:
+        # window count on the same key the self-join shuffles on — AQE reuses
+        # the exchange; oversized buckets never reach the join
+        wc = Window.partitionBy("band_hash")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -115,18 +140,57 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def lsh_oversized_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Audit view of the buckets ``lsh_candidate_pairs`` drops under its
+    ``max_bucket`` cap: (band_hash, bucket_size) for every oversized bucket.
+    At scale this is the 'logged drop volume' — route it to lineage."""
+    return (
+        _banded(df, id_col, text_col, k, bands)
+        .groupBy("band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle (inverted-index
-    join): (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b."""
+    join): (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
+
+    **df ceiling** (100-TB guard): the inverted-index join costs ∝ Σ df² per
+    shingle; one boilerplate shingle present in 10^6 docs alone yields 10^12
+    joined rows. Shingles with document frequency > ``max_df`` are removed
+    from the shingle space entirely — from both the intersection counts and
+    the set sizes, so the reported Jaccard stays internally consistent (it
+    is the exact Jaccard of the df-filtered shingle sets). Ubiquitous
+    shingles carry no pair-discriminating signal, so at sane ceilings the
+    ranking is unchanged. ``max_df=None`` disables the ceiling.
+    """
     sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        wdf = Window.partitionBy("g")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
@@ -174,26 +238,39 @@ def hamming32(a: Column, b: Column) -> Column:
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_dist: int = 6) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, bucketed by the two
-    16-bit halves (a pair within distance d ≤ 16 shares at least one exact
-    half — pigeonhole), so the join is on half-keys, never all-pairs."""
+    """Near-dup pairs by SimHash Hamming distance, bucketed by banding the
+    32-bit fingerprint into ``max_dist + 1`` bit segments.
+
+    Pigeonhole guarantee (standard Hamming-LSH): a pair with at most
+    ``max_dist`` differing bits split across ``max_dist + 1`` disjoint bands
+    must share at least one band *exactly* — so the banded bucket join has
+    **100% candidate recall** at distance ≤ max_dist (asserted against a
+    brute-force all-pairs Hamming oracle in tests/test_operators.py), while
+    the shuffle stays on (band_idx, band_value) keys, never all-pairs.
+    """
+    n_bands = min(max_dist + 1, 32)
+    # split 32 bits into n_bands contiguous segments of near-equal width
+    bounds = [round(i * 32 / n_bands) for i in range(n_bands + 1)]
+    segs = [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_bands)]
     sim = simhash32(df, id_col, text_col)
-    halves = sim.select(
+    bands = sim.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
-                F.col("simhash").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit(0xFFFF)),
+                *[
+                    F.shiftright(F.col("simhash"), start).bitwiseAND(F.lit((1 << width) - 1))
+                    for start, width in segs
+                ]
             )
-        ).alias("half_idx", "half"),
+        ).alias("band_idx", "band"),
     )
-    a, b = halves.alias("a"), halves.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.half_idx") == F.col("b.half_idx"))
-            & (F.col("a.half") == F.col("b.half"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -201,6 +278,6 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.col("b.id").alias("id_b"),
             hamming32(F.col("a.simhash"), F.col("b.simhash")).alias("dist"),
         )
-        .distinct()
         .filter(F.col("dist") <= max_dist)
+        .distinct()
     )

@@ -91,33 +91,53 @@ def lsh_topk(
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 4,
+    n_tables: int = 3,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's bucket or
-    any Hamming-distance-1 bucket (multi-probe)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
-    probes = F.array(
-        F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _bucket_expr(F.col(vec_col), planes).alias("qbucket"),
-    ).withColumn("probe", F.explode(probes))
-    scored = (
-        F.broadcast(q)
-        .join(c, q.probe == c.bucket)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-    )
+    """Approximate top-k via multi-table, multi-probe hyperplane LSH.
+
+    ``n_tables`` independent hash tables (each ``n_planes`` random
+    hyperplanes); a corpus vector is a candidate if it lands in the query's
+    bucket — or any Hamming-distance-1 probe of it — in *any* table.
+    Candidates are deduplicated across tables before ranking, so each pair
+    is scored once. Recall vs the exact baseline rises roughly as
+    1-(1-p)^L with table count L; the default (4 planes × 3 tables, H≤1
+    probes) is tuned to ≥0.8 recall@5 on the synthetic embeddings
+    (asserted in tests/test_operators.py) while scoring only a fraction of
+    the corpus per query.
+    """
+    per_table = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1009 * t)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        )
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _bucket_expr(F.col(vec_col), planes).alias("qbucket"),
+        ).withColumn("probe", F.explode(probes))
+        per_table.append(
+            F.broadcast(q)
+            .join(c, q.probe == c.bucket)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+            .select("query_id", "neighbor_id", "cos")
+        )
+    scored = per_table[0]
+    for s in per_table[1:]:
+        scored = scored.unionByName(s)
+    # dedup candidates found by several tables/probes (cos is identical)
+    scored = scored.groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -817,6 +817,212 @@ where list_sum(list_transform(generate_series(1, len(a.embedding)),
 """
 
 
+def _synth_papers_nested(docs: DataFrame) -> DataFrame:
+    """Nested papers in the crawl-extraction shape: doc i cites
+    (i*7+k)%500 for k=1..3, each citation carrying 1+(i+k)%2 reference
+    contexts; a context is NULL when (i*31+cited+j)%7==0 (exercises the
+    null-fill step). Deterministic from doc_id so DuckDB can reproduce
+    the flattened result without struct machinery."""
+    k = F.sequence(F.lit(1), F.lit(3))
+    i = F.col("doc_id")
+
+    def cited(kc):
+        return (i * 7 + kc) % 500
+
+    def contexts(kc):
+        return F.transform(
+            F.sequence(F.lit(1), (F.lit(1) + (i + kc) % 2).cast("int")),
+            lambda j: F.when(
+                (i * 31 + cited(kc) + j) % 7 == 0, F.lit(None).cast("string")
+            ).otherwise(
+                F.concat(
+                    F.lit("ctx "), i.cast("string"), F.lit("-"),
+                    cited(kc).cast("string"), F.lit("-"), j.cast("string"),
+                )
+            ),
+        )
+
+    return docs.select(
+        i.cast("string").alias("arxiv_id"),
+        F.transform(
+            k,
+            lambda kc: F.struct(
+                cited(kc).cast("string").alias("arxiv_id"),
+                contexts(kc).alias("reference_contexts"),
+            ),
+        ).alias("citations"),
+    )
+
+
+_SQL_CITATIONS_FLAT = """
+with e as (
+  select d.doc_id as citer, k, (d.doc_id * 7 + k) % 500 as cited
+  from documents d, unnest(generate_series(1, 3)) as u(k)),
+v as (
+  select e.*, 1 + (citer + k) % 2 as n_ctx from e
+  where exists (select 1 from documents dd where dd.doc_id = e.cited)),
+c as (
+  select citer, k, cited, j,
+         case when (citer * 31 + cited + j) % 7 = 0 then NULL
+              else 'ctx ' || citer || '-' || cited || '-' || j end as ctx
+  from v, unnest(generate_series(1, n_ctx)) as w(j)),
+flat as (
+  select citer::VARCHAR as citer_arxiv_id, cited::VARCHAR as cited_arxiv_id,
+         coalesce(ctx, '') as reference_context,
+         row_number() over (order by citer::VARCHAR, k, j) - 1 as idx
+  from c)
+"""
+
+
+def q40_process_citations(spark, sf):  # F8 P3 P1 W7 P8 F7 (build_embeddings_dataset.py:72-96)
+    from arxiv_crawler_spark.plans.embeddings_pipeline import process_citations
+
+    docs = load(spark, sf, "documents")
+    papers = _synth_papers_nested(docs)
+    valid = docs.select(F.col("doc_id").cast("string").alias("arxiv_id"))
+    return process_citations(papers, valid)
+
+
+_SQL_Q40 = f"""
+{_SQL_CITATIONS_FLAT}
+select citer_arxiv_id, cited_arxiv_id, reference_context, idx,
+       base64(encode(md5(reference_context))) as reference_id
+from flat
+"""
+
+
+def q41_citation_split(spark, sf):  # deterministic hash split (build_embeddings_dataset.py:137-175)
+    from arxiv_crawler_spark.plans.embeddings_pipeline import hash_split, process_citations
+
+    docs = load(spark, sf, "documents")
+    papers = _synth_papers_nested(docs)
+    valid = docs.select(F.col("doc_id").cast("string").alias("arxiv_id"))
+    tagged = hash_split(process_citations(papers, valid), test_size=0.2, seed=42)
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_citations"),
+        F.countDistinct("citer_arxiv_id").alias("n_citers"),
+    )
+
+
+_SQL_Q41 = f"""
+{_SQL_CITATIONS_FLAT}
+select case when ('0x' || substr(md5(citer_arxiv_id || '#42'), 1, 15))::BIGINT % 100 < 80
+            then 'train' else 'test' end as split,
+       count(*) as n_citations,
+       count(distinct citer_arxiv_id) as n_citers
+from flat group by 1
+"""
+
+
+def q42_semantic_search(spark, sf):  # P3 J4 W6 F6 composed (browser/app.py:148-211)
+    from arxiv_crawler_spark.plans.embeddings_pipeline import semantic_search
+
+    emb = load(spark, sf, "embeddings")
+    docs = load(spark, sf, "documents")
+    queries = emb.filter(F.col("vec_id") < 5)
+    edges = _synth_edges(docs).select("citer", "cited")
+    meta = docs.select(F.col("doc_id").alias("neighbor_id"), "lang", "n_chars")
+    return semantic_search(queries, emb, edges, meta, top_k=5)
+
+
+_SQL_Q42 = f"""
+with scored as (
+  select q.vec_id as query_id, c.vec_id as neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.embedding)),
+                  i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) as cos
+  from embeddings q cross join embeddings c
+  where q.vec_id < 5),
+ranked as (
+  select *, row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored),
+nonself as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id order by rank) as final_rank
+  from ranked where rank <= 6 and neighbor_id <> query_id),
+top5 as (select * from nonself where final_rank <= 5),
+cited as (select distinct citer, cited from {_SQL_EDGES} e)
+select t.query_id, t.neighbor_id, round(t.cos, 6) as cos, t.final_rank,
+       case when exists (select 1 from cited cd
+                         where cd.citer = t.query_id and cd.cited = t.neighbor_id)
+            then 'existing' else 'proposed' end as citation_type,
+       d.lang, d.n_chars
+from top5 t left join documents d on d.doc_id = t.neighbor_id
+"""
+
+
+def q43_seed_mining(spark, sf):  # S12 F2 T1 (initialize_list.py:13-94, extract_best_papers_ids.py:10-39)
+    from arxiv_crawler_spark.crawl.seeds import mine_seed_ids
+
+    docs = load(spark, sf, "documents")
+    i = F.col("doc_id")
+    aid1 = F.concat(F.lit("21"), F.lpad((i % 40).cast("string"), 2, "0"), F.lit("."),
+                    F.lpad(((i * 13) % 10000).cast("string"), 5, "0"))
+    aid2 = F.concat(F.lit("22"), F.lpad((i % 30).cast("string"), 2, "0"), F.lit("."),
+                    F.lpad(((i * 7) % 10000).cast("string"), 5, "0"))
+    line = (
+        F.when(i % 3 == 0,
+               F.concat(F.lit("see https://arxiv.org/abs/"), aid1, F.lit(" and more")))
+        .when(i % 3 == 1,
+              F.concat(F.lit("journal = {arXiv preprint arXiv:"), aid2, F.lit("}")))
+        .otherwise(F.lit("no identifiers on this line"))
+    )
+    lines = docs.select(
+        F.lit(0).alias("src_rank"), i.cast("int").alias("line_no"), line.alias("line")
+    )
+    return mine_seed_ids(lines).select(
+        "arxiv_id", F.col("line_no").cast("long").alias("line_no"),
+        F.col("seed_idx").cast("long").alias("seed_idx"),
+    )
+
+
+_SQL_Q43 = r"""
+with lines as (
+  select doc_id as line_no,
+         case when doc_id % 3 = 0 then 'see https://arxiv.org/abs/21' || lpad((doc_id % 40)::VARCHAR, 2, '0') || '.' || lpad(((doc_id * 13) % 10000)::VARCHAR, 5, '0') || ' and more'
+              when doc_id % 3 = 1 then 'journal = {arXiv preprint arXiv:22' || lpad((doc_id % 30)::VARCHAR, 2, '0') || '.' || lpad(((doc_id * 7) % 10000)::VARCHAR, 5, '0') || '}'
+              else 'no identifiers on this line' end as line
+  from documents),
+ids_t as (
+  select line_no,
+         regexp_extract_all(line, '(?:https?://)?(?:www\.)?arxiv\.org/abs/(\d{4}\.\d{4,}(?:v\d+)?|\d{7})', 1)
+         || regexp_extract_all(line, 'arXiv[: ](\d{4}\.\d{4,}(?:v\d+)?)', 1) as ids
+  from lines),
+hits as (
+  select line_no, j - 1 as pos, ids[j] as arxiv_id
+  from ids_t, unnest(generate_series(1, len(ids))) as g(j)
+  where ids[j] is not null and ids[j] <> ''),
+firsts as (
+  select *, row_number() over (partition by arxiv_id order by line_no, pos) as rn from hits)
+select arxiv_id, line_no,
+       row_number() over (order by line_no, pos) - 1 as seed_idx
+from firsts where rn = 1
+"""
+
+
+def q44_paginate_cited_by(spark, sf):  # W4 J2 (home page: cited-by sort, 25/page, page 2 — app.py:217-241)
+    docs = load(spark, sf, "documents")
+    e = _synth_edges(docs)
+    counts = e.groupBy("cited").agg(F.count(F.lit(1)).alias("cited_by"))
+    return (
+        docs.join(counts, docs.doc_id == counts.cited, "left")
+        .select("doc_id", F.coalesce("cited_by", F.lit(0)).alias("cited_by"))
+        .orderBy(F.desc("cited_by"), F.asc("doc_id"))
+        .offset(25)
+        .limit(25)
+    )
+
+
+_SQL_Q44 = f"""
+select d.doc_id, coalesce(c.cited_by, 0) as cited_by
+from documents d
+left join (select cited, count(*) as cited_by from {_SQL_EDGES} e group by 1) c
+  on c.cited = d.doc_id
+order by cited_by desc, d.doc_id asc limit 25 offset 25
+"""
+
+
 # ------------------------- rows-only (non-SQL-expressible) -----------------
 
 def x50_crawl_replay(spark, sf):
@@ -855,10 +1061,24 @@ def x52_knn_lsh(spark, sf):
 
 
 def x53_media_features(spark, sf):
-    """Multimodal plumbing: synthetic media → Arrow feature extraction."""
+    """Multimodal plumbing: synthetic media → Arrow feature extraction.
+
+    The raw ``features: array<float>`` column is projected to stable
+    scalars (md5 of the rounded-json vector, dim, first element) — the
+    driver's canonicalizer sorts columns and cannot hash raw arrays."""
     from arxiv_crawler_spark.operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, n=48), dim=8)
+    feats = extract_features(synth_media(spark, n=48), dim=8)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.md5(
+            F.to_json(F.transform("features", lambda x: F.round(x.cast("double"), 5)))
+        ).alias("feat_hash"),
+        F.size("features").cast("long").alias("feat_dim"),
+        F.round(F.element_at("features", 1).cast("double"), 5).alias("feat0"),
+    )
 
 
 def x54_simhash_near_pairs(spark, sf):
@@ -866,6 +1086,43 @@ def x54_simhash_near_pairs(spark, sf):
     return DD.simhash_near_pairs(d, max_dist=8)
 
 
+
+
+def x58_crawler_status(spark, sf):
+    """Composed crawler-status view (app.py:419-514): mini crawl, then the
+    in-dataset table (internal/external citation split + cited-by counts) —
+    exercises A4 + P3 + J7 + W4 together over live store state."""
+    import tempfile
+
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="xq_status_"),
+        pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=True),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+    return eng.dataset_status(sort="cited_by")
+
+
+def x59_render_tei(spark, sf):
+    """TEI → HTML rendering (U2/F11, tei_parser.py:54-409): Arrow-batched
+    column-to-HTML projection; content assertions live in tests/test_render."""
+    from arxiv_crawler_spark.extraction.render import render_pages
+    from arxiv_crawler_spark.fixtures import gen_world, spark_pages
+
+    pages = spark_pages(spark, gen_world(n_docs=20, seed=42))
+    out = render_pages(pages)
+    return out.select(
+        "url",
+        F.length("body_html").cast("long").alias("body_len"),
+        F.md5("body_html").alias("body_md5"),
+        F.md5("references_html").alias("refs_md5"),
+    )
 
 
 def x56_approx_distinct(spark, sf):
@@ -936,6 +1193,11 @@ SPARK_QUERIES = {
     "q37_json_serialize": q37_json_serialize,
     "q38_rollup": q38_rollup,
     "q39_embedding_near_pairs": q39_embedding_near_pairs,
+    "q40_process_citations": q40_process_citations,
+    "q41_citation_split": q41_citation_split,
+    "q42_semantic_search": q42_semantic_search,
+    "q43_seed_mining": q43_seed_mining,
+    "q44_paginate_cited_by": q44_paginate_cited_by,
     "x50_crawl_replay": x50_crawl_replay,
     "x51_extract_tei": x51_extract_tei,
     "x52_knn_lsh": x52_knn_lsh,
@@ -943,6 +1205,8 @@ SPARK_QUERIES = {
     "x54_simhash_near_pairs": x54_simhash_near_pairs,
     "x56_approx_distinct": x56_approx_distinct,
     "x57_host_skew_wave": x57_host_skew_wave,
+    "x58_crawler_status": x58_crawler_status,
+    "x59_render_tei": x59_render_tei,
 }
 
 ORACLE_SQL = {
@@ -985,4 +1249,9 @@ ORACLE_SQL = {
     "q37_json_serialize": _SQL_Q37,
     "q38_rollup": _SQL_Q38,
     "q39_embedding_near_pairs": _SQL_Q39,
+    "q40_process_citations": _SQL_Q40,
+    "q41_citation_split": _SQL_Q41,
+    "q42_semantic_search": _SQL_Q42,
+    "q43_seed_mining": _SQL_Q43,
+    "q44_paginate_cited_by": _SQL_Q44,
 }

@@ -121,6 +121,45 @@ def test_wave_mode_seen_set_equal(spark, world_pdf, oracle_out, tmp_path_factory
     assert got == want
 
 
+def test_distributed_bloom_equivalence_and_layout(spark, world_pdf, oracle_out, tmp_path_factory):
+    """The executor-side bloom pre-filter must be semantically invisible
+    (identical final seen set vs use_bloom=False) and must exist as COW
+    shard files referenced from the manifest — no monolithic bitmap."""
+    import os
+
+    _, seeds, _, _ = oracle_out
+    pages = spark_pages(spark, world_pdf)
+
+    def run(use_bloom, name):
+        eng = CrawlEngine(
+            spark,
+            str(tmp_path_factory.mktemp(name)),
+            pages,
+            CrawlConfig(
+                mode="wave", max_papers=10_000, wave_size=16, round_seconds=48.0,
+                n_buckets=8, use_bloom=use_bloom, bloom_min_seen=0,
+            ),
+        )
+        eng.bootstrap(seeds)
+        eng.run(max_rounds=100)
+        return eng
+
+    with_bloom = run(True, "bloom_on")
+    without = run(False, "bloom_off")
+    sa = sorted(tuple(r) for r in with_bloom.seen_statuses().collect())
+    sb = sorted(tuple(r) for r in without.seen_statuses().collect())
+    assert sa == sb
+
+    m = with_bloom.store.manifest()
+    shards = m["bloom_shards"]
+    assert shards, "bloom should have activated (bloom_min_seen=0)"
+    assert "bloom_file" not in m  # the monolithic bitmap is gone
+    for rel in shards.values():
+        assert rel.startswith("snapshots/") and "/bloom/shard_" in rel
+        assert os.path.exists(os.path.join(with_bloom.store.path, rel))
+    assert without.store.manifest()["bloom_shards"] is None
+
+
 def test_lineage_counters(replay_engine):
     m = replay_engine.store.manifest()
     lin = m["lineage"]

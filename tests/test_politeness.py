@@ -99,6 +99,37 @@ def test_select_wave_budget_windows(spark):
     assert sorted(by_host["h0.x"], reverse=True) == [100, 97]
 
 
+def test_large_wave_paths_match_simple_path(spark):
+    """The large-wave machinery (post-budget quantile prefilter + two-level
+    distributed rank) must select the exact same wave, with the exact same
+    pop_ranks, as the simple orderBy/limit/window path."""
+    rows = [
+        (i * 2_654_435_761 % (1 << 40), f"https://h{i % 17}.x/{i}", f"h{i % 17}.x",
+         (i * 7919) % 400, i % 6, i)
+        for i in range(5000)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "url_hash long, url string, host string, count long, depth int, discovery_seq long"
+    ).repartition(8)
+    budgets = spark.createDataFrame(
+        [(f"h{k}.x", 40 + k) for k in range(17)], "host string, budget int"
+    )
+    for phase in ("bfs", "citations"):
+        for bgt in (None, budgets):
+            simple = select_wave(
+                frontier, phase, wave_cap=600, host_budgets=bgt, default_budget=50,
+                salt_factor=4, threshold_prefilter_min=10**9,
+            )
+            fancy = select_wave(
+                frontier, phase, wave_cap=600, host_budgets=bgt, default_budget=50,
+                salt_factor=4, threshold_prefilter_min=100,
+            )
+            s = sorted(tuple(r) for r in simple.collect())
+            f = sorted(tuple(r) for r in fancy.collect())
+            assert len(s) == 600
+            assert s == f, f"wave mismatch (phase={phase}, budgets={bgt is not None})"
+
+
 def test_multihost_crawl_budgets_and_seen_set(spark, tmp_path_factory):
     """Common-Crawl-shaped world: pages spread over 8 mirror hosts via a
     pluggable link resolver. Per-host budgets must cap each round's per-host

@@ -83,6 +83,46 @@ def test_crash_mid_commit_recovers(spark, pages, tmp_path_factory):
     assert eng2.store.manifest()["round"] == 6
 
 
+def test_crash_after_data_writes_no_duplicates(spark, pages, tmp_path_factory):
+    """Crash in the window AFTER the round's data writes (frontier, seen,
+    fetched, edges) but BEFORE the manifest flip: the re-run of the same
+    round must not duplicate fetched/edges rows (all deltas live inside the
+    snapshot dir and are only visible via the flipped manifest)."""
+    import json
+    import os
+
+    seeds = gen_seeds(N_DOCS)
+    d = str(tmp_path_factory.mktemp("crash2"))
+    eng = CrawlEngine(spark, d, pages, _cfg())
+    eng.bootstrap(seeds)
+    eng.run(max_rounds=5)
+    m5 = eng.store.manifest()
+
+    # run round 6 fully, then simulate the crash by reverting the manifest
+    # to the round-5 state — exactly as if we died between the data writes
+    # and the os.replace flip
+    r6 = eng.run_round()
+    assert r6 is not None and r6.round_no == 6
+    n_fetched_clean = eng.store.fetched().count()
+    n_edges_clean = eng.store.edges().count()
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump(m5, f)
+
+    eng2 = CrawlEngine(spark, d, pages, _cfg())
+    assert eng2.store.manifest() == m5
+    r = eng2.run_round()  # re-runs round 6, clobbering the orphan snapshot
+    assert r is not None and r.round_no == 6
+    m6 = eng2.store.manifest()
+
+    fetched = eng2.store.fetched()
+    assert fetched.count() == m6["total_pops"] == n_fetched_clean  # no duplicated appends
+    dup_orders = (
+        fetched.groupBy("global_order").count().filter("count > 1").count()
+    )
+    assert dup_orders == 0
+    assert eng2.store.edges().count() == n_edges_clean
+
+
 def test_rebootstrap_is_idempotent(spark, pages, tmp_path_factory):
     """Re-seeding a finished store must not re-queue processed/failed seeds
     (crawler.py:217-220) — queued seeds get a depth reset only."""
