@@ -171,20 +171,7 @@ def select_wave(
     order = priority_order(phase)
     cand = frontier
 
-    def _quantile_prefilter(c: DataFrame, size_hint: int) -> DataFrame:
-        """Estimate the K-th priority by quantile and cut the candidates to
-        ~3K rows before the global top-K — avoids funneling partitions×K
-        rows through one reducer. Scan-efficiency only: candidates beyond
-        the threshold would be deferred to later rounds regardless. Falls
-        back to everything if the estimate under-collects (heavy ties)."""
-        key = _scalar_priority(phase)
-        keyed = c.withColumn("_pk", key)
-        frac = min(1.0, 3.0 * wave_cap / size_hint)
-        thr = keyed.stat.approxQuantile("_pk", [frac], 0.02)[0]
-        filtered = keyed.filter(F.col("_pk") <= thr).drop("_pk")
-        if filtered.limit(wave_cap).count() >= wave_cap:
-            return filtered
-        return keyed.drop("_pk")
+    sess = frontier.sparkSession
 
     # the per-host windows can only bind when some host's budget is below
     # the global cap — with a uniform budget ≥ wave_cap they are provably
@@ -216,62 +203,75 @@ def select_wave(
         w2 = Window.partitionBy("host").orderBy(*order)
         cand = cand.withColumn("_r2", F.row_number().over(w2)).filter(F.col("_r2") <= F.col("budget"))
         cand = cand.drop("_r1", "_r2")
-        if large:
-            cand = _quantile_prefilter(cand, frontier_size)
-    elif large:
-        cand = _quantile_prefilter(cand, frontier_size)
 
-    if want_prefilter:
-        # large waves: exact global rank without any single-task funnel
-        return _two_level_rank(cand, order, wave_cap).drop("budget")
+    if large:
+        # Large waves: one approxQuantile pass yields B ascending boundaries
+        # of the scalar priority key, spaced to cover ~3·wave_cap rows. The
+        # last boundary is the prefilter threshold (rows beyond it would be
+        # deferred to later rounds regardless — scan efficiency only); the
+        # boundaries also bucket the survivors for a fully parallel exact
+        # rank (no single-task sort/window anywhere). Falls back to the
+        # simple exact path if the estimate under-collects (heavy ties).
+        key = _scalar_priority(phase)
+        keyed = cand.withColumn("_pk", key.cast("double"))
+        n_buckets = max(2, sess.sparkContext.defaultParallelism)
+        frac = min(1.0, 3.0 * wave_cap / frontier_size)
+        bounds = keyed.stat.approxQuantile(
+            "_pk", [frac * (i + 1) / n_buckets for i in range(n_buckets)], 0.01
+        )
+        filtered = keyed.filter(F.col("_pk") <= bounds[-1])
+        ranked, n_candidates = _bucketed_rank(filtered, bounds, order, wave_cap)
+        if n_candidates >= wave_cap:
+            return ranked.drop("budget", "_pk")
+        cand = keyed.drop("_pk")  # under-collected (heavy ties) — simple exact path
+
     wave = cand.orderBy(*order).limit(wave_cap)
     wr = Window.orderBy(*order)  # wave is ≤ wave_cap rows — single-partition window is fine
     return wave.withColumn("pop_rank", F.row_number().over(wr)).drop("budget")
 
 
-def _two_level_rank(cand: DataFrame, order: list[Column], wave_cap: int) -> DataFrame:
-    """Exact global priority rank with no single-partition window: range-
-    partition the candidates by the priority order (explicit partition
-    count, so AQE never re-coalesces it), rank *within* each range
-    partition, then add the per-partition row-count offsets (one tiny
-    collect of ≤ n_parts rows). The result equals
-    ``orderBy(*order).limit(wave_cap)`` + a global row_number, but every
-    stage is parallel — this is the 10M+-row-wave path.
+def _bucketed_rank(
+    filtered: DataFrame, bounds: list[float], order: list[Column], wave_cap: int
+) -> tuple[DataFrame, int]:
+    """Exact global priority rank with no single-partition window.
 
-    Determinism: ranks are a pure function of the total order (the order
-    keys end in the unique ``discovery_seq``), independent of where the
-    range boundaries fall; RangePartitioner's sampling is itself
-    deterministic (seeded by partition index), so the offsets collected
-    here match the final evaluation.
+    Bucket id = number of quantile boundaries strictly below the row's
+    priority key — a pure function of the ROW VALUE against literal
+    boundaries baked into the plan, so it is identical across jobs and
+    recomputations (a partition-id scheme is not: range-partition sampling
+    can land boundaries differently between the offset-collect job and the
+    final evaluation, corrupting ranks — measured, not hypothetical).
+    Monotone: smaller key (higher priority) → smaller-or-equal bucket;
+    key ties share a bucket, so (bucket asc, within-bucket order) is the
+    exact global order. One ≤ n_buckets-row collect turns per-bucket
+    counts into rank offsets; buckets starting past wave_cap never reach
+    the window at all. Returns (ranked_df, total_candidates) — the total
+    doubles as the prefilter's under-collect check, saving a count job.
     """
-    sess = cand.sparkSession
-    n_parts = max(2, sess.sparkContext.defaultParallelism)
-    parts = cand.repartitionByRange(n_parts, *order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pid").orderBy(*order)
-    r = parts.withColumn("_lr", F.row_number().over(w))
+    barr = F.array(*[F.lit(float(b)) for b in bounds[:-1]])
+    bucket = F.size(F.filter(barr, lambda b: b < F.col("_pk")))
+    r = filtered.withColumn("_bk", bucket)
     counts = sorted(
-        (row["_pid"], row["c"])
-        for row in r.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        (row["_bk"], row["c"])
+        for row in r.groupBy("_bk").agg(F.count(F.lit(1)).alias("c")).collect()
     )
     offsets: dict[int, int] = {}
     acc = 0
-    for pid, c in counts:
-        offsets[pid] = acc
+    for bk, c in counts:
+        offsets[bk] = acc
         acc += c
-    omap = (
-        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
-        if offsets
-        else F.create_map()
-    )
-    return (
-        r.withColumn(
-            "pop_rank", (F.col("_lr") + F.coalesce(omap[F.col("_pid")], F.lit(0))).cast("int")
-        )
+    keep = [bk for bk, off in offsets.items() if off < wave_cap]
+    if not keep:  # no candidates at all — caller falls back
+        return filtered.limit(0).withColumn("pop_rank", F.lit(0)), 0
+    omap = F.create_map(*[F.lit(v) for bk in keep for v in (bk, offsets[bk])])
+    w = Window.partitionBy("_bk").orderBy(*order)
+    ranked = (
+        r.filter(F.col("_bk").isin(keep))
+        .withColumn("pop_rank", (F.row_number().over(w) + omap[F.col("_bk")]).cast("int"))
         .filter(F.col("pop_rank") <= wave_cap)
-        .drop("_pid", "_lr")
+        .drop("_bk")
     )
+    return ranked, acc
 
 
 def merge_frontier(

@@ -264,14 +264,25 @@ class CrawlEngine:
             salt_factor=self.cfg.salt_factor,
             frontier_size=m["frontier_size"] if m["frontier_size"] > 0 else None,
         ).cache()
-        waved = wave.count()
-        _mark("wave select+count")
-        if waved == 0:
-            return None
+        if self.cfg.exact_lineage:
+            waved = wave.count()
+            _mark("wave select+count")
+            if waved == 0:
+                return None
+        else:
+            # throughput mode: skip the dedicated count job — the stats agg
+            # below yields waved = processed + failed (left join keeps every
+            # wave row), so the count comes free with the extraction pass
+            waved = None
+        _mark("wave select")
 
         # 2. fetch = join against pages (S8/S9: the sandbox fetch layer).
         # Broadcast the small wave so the 100 TB pages side never shuffles.
-        wave_b = F.broadcast(wave) if waved <= self.cfg.broadcast_wave_max else wave
+        wave_b = (
+            F.broadcast(wave)
+            if (waved if waved is not None else wave_cap) <= self.cfg.broadcast_wave_max
+            else wave
+        )
         # precondition: `pages` is unique by url (one snapshot per URL, per
         # the input_hint schema). A duplicate url would double-count its pop;
         # dedup here would shuffle wave×html bytes every round, so the
@@ -375,6 +386,12 @@ class CrawlEngine:
             F.coalesce(F.sum("num_arxiv_citations"), F.lit(0)).alias("links"),
         ).collect()[0]
         n_links = int(stats["links"])
+        if waved is None:
+            waved = int(stats["p"] or 0) + int(stats["f"] or 0)
+            if waved == 0:  # budgets deferred everything; nothing to commit
+                wave.unpersist()
+                fetched.unpersist()
+                return None
         _mark("fetch+extract+stats")
 
         if self.cfg.exact_lineage:

@@ -62,9 +62,13 @@ class SnapshotStore:
         # co-located with their seen/frontier key ranges
         self.bloom_bits_per_shard = bloom_bits_per_shard
         self.bloom_hashes = bloom_hashes
-        # the seen log is a delta chain, one dir per round; past this many
-        # deltas a commit folds them into a single hash-sorted dir so the
-        # anti-join probe scan stays O(1) directories (Iceberg compaction)
+        # the seen log is a delta chain, one dir per round, folded with
+        # size-tiered (LSM-style) compaction: when more than
+        # ``compact_seen_after`` runs share a tier (tier = log_T of how
+        # many round-deltas a run contains), just THOSE runs merge into one
+        # run of the next tier. Each fold touches only one tier — never
+        # the whole 10^10-row table — for O(log) total write amplification,
+        # while the dir count stays O(T · log T).
         self.compact_seen_after = compact_seen_after
         os.makedirs(path, exist_ok=True)
 
@@ -182,6 +186,10 @@ class SnapshotStore:
         os.makedirs(snap_abs, exist_ok=True)
         buckets: dict[str, str] = dict(prev["frontier_buckets"]) if prev else {}
         seen_deltas: list[str] = list(prev["seen_deltas"]) if prev else []
+        # weight = how many original round-deltas a run contains (tier key)
+        seen_weights: list[int] = (
+            list(prev.get("seen_delta_weights") or [1] * len(prev["seen_deltas"])) if prev else []
+        )
         fetched_deltas: list[str] = list(prev.get("fetched_deltas", [])) if prev else []
         edges_deltas: list[str] = list(prev.get("edges_deltas", [])) if prev else []
 
@@ -189,6 +197,7 @@ class SnapshotStore:
         # threads so their stages overlap (Spark schedules concurrent jobs
         # from one session); wall cost ≈ the slowest write, not the sum
         jobs = []
+        measured: dict[str, int] = {}
         if frontier_changed is not None:
             fdir = f"{snap}/frontier"
 
@@ -206,6 +215,17 @@ class SnapshotStore:
                     .partitionBy("bucket")
                     .parquet(os.path.join(self.path, fdir))
                 )
+                # throughput mode (full rewrite, size unknown): a parquet
+                # footer-metadata count of what we just wrote costs ~nothing
+                # and runs inside this thread, overlapped with other writes —
+                # gives the next round its prefilter sizing for free
+                if changed_buckets is None and (meta or {}).get("frontier_size") == -1:
+                    try:
+                        measured["frontier_size"] = self.spark.read.parquet(
+                            os.path.join(self.path, fdir)
+                        ).count()
+                    except Exception:  # empty frontier → no files to infer from
+                        measured["frontier_size"] = 0
 
             jobs.append(write_frontier)
 
@@ -219,6 +239,7 @@ class SnapshotStore:
                 .parquet(os.path.join(self.path, sdir))
             )
             seen_deltas.append(sdir)
+            seen_weights.append(1)
         if fetched_delta is not None:
             fdir2 = f"{snap}/fetched"
             jobs.append(
@@ -272,9 +293,57 @@ class SnapshotStore:
                 else:
                     buckets.pop(str(b), None)  # bucket became empty
 
-        if len(seen_deltas) > self.compact_seen_after:
-            cdir = f"{snap}/seen_compacted"
-            paths = [os.path.join(self.path, d) for d in seen_deltas]
+        seen_deltas, seen_weights = self._compact_seen_tiers(snap, seen_deltas, seen_weights)
+
+        m = {
+            "round": round_no,
+            "snapshot": snap,
+            "frontier_buckets": buckets,
+            "seen_deltas": seen_deltas,
+            "seen_delta_weights": seen_weights,
+            "fetched_deltas": fetched_deltas,
+            "edges_deltas": edges_deltas,
+            "bloom_shards": bloom_shards,
+            **(meta or {}),
+            **measured,
+        }
+        self._write_manifest(m)
+        return m
+
+    def _compact_seen_tiers(
+        self, snap: str, seen_deltas: list[str], seen_weights: list[int]
+    ) -> tuple[list[str], list[int]]:
+        """Size-tiered fold of the seen delta chain (LSM compaction).
+
+        Tier of a run = floor(log_T(weight)) where weight = number of
+        original round-deltas it contains and T = ``compact_seen_after``.
+        When a tier holds more than T runs, exactly those runs merge into
+        one hash-sorted run of the next tier, written inside this snapshot
+        (COW — old runs stay for previous manifests). Folds cascade, but a
+        single fold never reads more than one tier — so no commit ever
+        rewrites the whole seen table (the round-1 all-at-once fold was an
+        O(|seen|) periodic job; at 10^10 rows that is a non-starter).
+        """
+        T = max(2, self.compact_seen_after)
+
+        def tier_of(w: int) -> int:
+            t = 0
+            while w >= T ** (t + 1):
+                t += 1
+            return t
+
+        fold_no = 0
+        while True:
+            tiers: dict[int, list[int]] = {}
+            for i, w in enumerate(seen_weights):
+                tiers.setdefault(tier_of(w), []).append(i)
+            target = next((t for t in sorted(tiers) if len(tiers[t]) > T), None)
+            if target is None:
+                return seen_deltas, seen_weights
+            idxs = tiers[target]
+            paths = [os.path.join(self.path, seen_deltas[i]) for i in idxs]
+            cdir = f"{snap}/seen_compacted_t{target}_{fold_no}"
+            fold_no += 1
             (
                 self.spark.read.parquet(*paths)
                 .repartition(max(1, self.n_buckets // 4), "url_hash")
@@ -282,17 +351,7 @@ class SnapshotStore:
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.path, cdir))
             )
-            seen_deltas = [cdir]
-
-        m = {
-            "round": round_no,
-            "snapshot": snap,
-            "frontier_buckets": buckets,
-            "seen_deltas": seen_deltas,
-            "fetched_deltas": fetched_deltas,
-            "edges_deltas": edges_deltas,
-            "bloom_shards": bloom_shards,
-            **(meta or {}),
-        }
-        self._write_manifest(m)
-        return m
+            folded_w = sum(seen_weights[i] for i in idxs)
+            drop = set(idxs)
+            seen_deltas = [d for i, d in enumerate(seen_deltas) if i not in drop] + [cdir]
+            seen_weights = [w for i, w in enumerate(seen_weights) if i not in drop] + [folded_w]

@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "lsh_topk"]
+__all__ = ["cosine", "brute_force_topk", "lsh_topk", "lsh_near_pairs"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -143,4 +143,73 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def lsh_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs WITHOUT the all-pairs join —
+    the scale path behind q39's exact form.
+
+    Candidate pairs = rows sharing a hyperplane-LSH bucket in ANY of the
+    ``n_tables`` independent tables; only candidates get the cosine, and
+    only the shuffle on (table, bucket) keys ever moves data. Expected cost
+    ≈ n_tables · |C|² / 2^n_planes instead of |C|²; recall vs the exact
+    all-pairs form is asserted ≥ 0.8 in tests/test_operators.py. Buckets
+    larger than ``max_bucket`` are dropped (same boilerplate guard as
+    operators/dedup.py — audit before raising).
+
+    Returns (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
+    """
+    tabled = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1009 * t)
+        tabled.append(
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                F.lit(t).alias("table"),
+                _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    b = tabled[0]
+    for s in tabled[1:]:
+        b = b.unionByName(s)
+    if max_bucket is not None:
+        wc = Window.partitionBy("table", "bucket")
+        b = (
+            b.withColumn("_bsz", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        # a pair can collide in several tables — score each pair once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -1125,6 +1125,17 @@ def x59_render_tei(spark, sf):
     )
 
 
+def x55_embedding_near_pairs_lsh(spark, sf):
+    """The 100-TB path behind q39: LSH-bucketed embedding near-pairs — no
+    all-pairs join anywhere. Recall ≥ 0.9 on planted near-duplicates
+    (cos ≥ 0.9, the regime the operator targets) is asserted in
+    tests/test_operators.py; the q39 threshold (0.35) is kept here only so
+    the fixture embeddings yield rows — low-similarity retrieval is the
+    exact form's job, not LSH's."""
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    return KNN.lsh_near_pairs(emb, threshold=0.35, n_planes=3, n_tables=6)
+
+
 def x56_approx_distinct(spark, sf):
     """approx_count_distinct — frontier-size estimation at 10^10 scale
     (sketch-based, no exact-SQL oracle; rows-only check)."""
@@ -1203,6 +1214,7 @@ SPARK_QUERIES = {
     "x52_knn_lsh": x52_knn_lsh,
     "x53_media_features": x53_media_features,
     "x54_simhash_near_pairs": x54_simhash_near_pairs,
+    "x55_embedding_near_pairs_lsh": x55_embedding_near_pairs_lsh,
     "x56_approx_distinct": x56_approx_distinct,
     "x57_host_skew_wave": x57_host_skew_wave,
     "x58_crawler_status": x58_crawler_status,

@@ -114,7 +114,8 @@ def bench_crawl(spark: SparkSession, n_docs: int) -> dict:
         pages = pages.cache()
     pages.count()  # materialize / codegen-warm the world outside the timed section
 
-    wave = int(os.environ.get("BENCH_WAVE", str(max(n_docs // 4, 250))))
+    # default wave sized so warmup (2) + timed (3) rounds fit in n_docs pops
+    wave = int(os.environ.get("BENCH_WAVE", str(max(n_docs // 6, 250))))
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     cfg = CrawlConfig(
         mode="wave",
@@ -130,7 +131,11 @@ def bench_crawl(spark: SparkSession, n_docs: int) -> dict:
     seeds = [arxiv_id_of(i) for i in range(0, n_docs, max(1, n_docs // wave))]
 
     eng.bootstrap(seeds)
-    eng.run_round()  # one warm-up round: JIT + python-worker spin-up excluded
+    # warm-up rounds excluded from timing: JIT C2 compilation + python-worker
+    # spin-up take 2+ rounds to settle, and noticeably longer under
+    # spark-submit --py-files (workers import the engine from the zip)
+    for _ in range(int(os.environ.get("BENCH_WARMUP", "2"))):
+        eng.run_round()
     pops0 = eng.store.manifest()["total_pops"]
     t0 = time.monotonic()
     results = eng.run(max_rounds=n_rounds)
@@ -188,7 +193,9 @@ def main() -> None:
     spark = get_spark(app_name="arxiv-crawler-spark-bench", master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_docs = int(os.environ.get("BENCH_CRAWL_DOCS", str(max(int(800_000 * sf), 4000))))
+    # world sized so 2 warmup + 3 timed rounds of n_docs//6 waves fit the
+    # pop budget (max_papers = n_docs)
+    n_docs = int(os.environ.get("BENCH_CRAWL_DOCS", str(max(int(1_200_000 * sf), 4000))))
     crawl = bench_crawl(spark, n_docs)
     queries = bench_queries(spark, sf_dir)
 

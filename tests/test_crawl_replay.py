@@ -121,6 +121,31 @@ def test_wave_mode_seen_set_equal(spark, world_pdf, oracle_out, tmp_path_factory
     assert got == want
 
 
+def test_throughput_mode_seen_set_equal(spark, world_pdf, oracle_out, tmp_path_factory):
+    """exact_lineage=False (the bench's throughput mode: no per-bucket audit
+    jobs, no dedicated wave count, frontier size measured from the written
+    parquet) must still crawl the exact same set."""
+    world, seeds, _, _ = oracle_out
+    trace, st = crawl_oracle(world, seeds, max_papers=10_000)
+    pages = spark_pages(spark, world_pdf)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("store_tput")),
+        pages,
+        CrawlConfig(
+            mode="wave", max_papers=10_000, wave_size=16, round_seconds=48.0,
+            n_buckets=8, exact_lineage=False,
+        ),
+    )
+    eng.bootstrap(seeds)
+    eng.run(max_rounds=100)
+    m = eng.store.manifest()
+    assert m["frontier_size"] == 0  # measured (not -1) even in throughput mode
+    want = {_id_to_url(a): s for a, s in seen_set(st).items()}
+    got = {r["url"]: r["status"] for r in eng.seen_statuses().collect()}
+    assert got == want
+
+
 def test_distributed_bloom_equivalence_and_layout(spark, world_pdf, oracle_out, tmp_path_factory):
     """The executor-side bloom pre-filter must be semantically invisible
     (identical final seen set vs use_bloom=False) and must exist as COW

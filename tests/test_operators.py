@@ -155,6 +155,44 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.8, f"multi-table multi-probe LSH recall too low: {recall}"
 
 
+def test_lsh_near_pairs_recall_on_planted_dups(spark, sf_dir):
+    """The bucketed near-pair path must recover ≥ 0.9 of PLANTED
+    near-duplicates (cos ≥ 0.9 — the regime LSH prunes for; hyperplane
+    collision probability (1-θ/π)^p decays fast below cos ~0.7, which is
+    why the operator targets near-dup detection, not low-similarity
+    retrieval) — and never emit a false pair (candidates are verified by
+    true cosine)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 100)
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    rng = np.random.RandomState(11)
+    rows = [(i, v.tolist()) for i, v in base.items()]
+    planted = set()
+    for i in sorted(base)[:40]:
+        v = base[i]
+        dup = v + 0.05 * np.linalg.norm(v) / 8 * rng.randn(len(v))
+        rows.append((10_000 + i, dup.astype("float32").tolist()))
+        planted.add((i, 10_000 + i))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in KNN.lsh_near_pairs(df, threshold=0.9, dim=len(next(iter(base.values())))).collect()
+    }
+    found = {p for p in planted if p in got}
+    recall = len(found) / len(planted)
+    assert recall >= 0.9, f"LSH near-dup recall too low: {recall}"
+    # verification step means no pair below the threshold sneaks through
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", KNN.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    assert got <= exact
+
+
 def test_multimodal_features(spark):
     media = synth_media(spark, n=30)
     feats = extract_features(media, dim=8).collect()

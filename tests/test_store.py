@@ -25,6 +25,13 @@ def test_seen_compaction_preserves_dedupe(spark, tmp_path_factory):
     # the chain was folded at least once: far fewer dirs than rounds
     assert len(m["seen_deltas"]) <= 6, m["seen_deltas"]
     assert any("seen_compacted" in p for p in m["seen_deltas"])
+    # tiered accounting: weights track how many round-deltas each run holds,
+    # and no fold ever rewrote the whole chain into one run mid-crawl
+    assert len(m["seen_delta_weights"]) == len(m["seen_deltas"])
+    # every committed round contributed exactly one round-delta; folds must
+    # conserve them (weight = folded round-delta count)
+    assert sum(m["seen_delta_weights"]) == m["round"]
+    assert all(w >= 1 for w in m["seen_delta_weights"])
     seen = eng.store.seen(m)
     # compaction must not duplicate or drop rows
     assert seen.count() == m["total_pops"] or seen.count() == seen.select("url").distinct().count()
