@@ -534,6 +534,35 @@ select id, ({sim}) as simhash from votes
 """
 
 
+def q45_simhash64(spark, sf):  # dedup-simhash, 64-bit (scale-sane banding fingerprint)
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return DD.simhash64(d)
+
+
+def _sql_q45() -> str:
+    votes = ", ".join(
+        f"sum(((h{p} >> {b}) & 1) * 2 - 1) as {p}{b}" for p in ("a", "b") for b in range(32)
+    )
+
+    def fold(prefix: str, alias: str) -> str:
+        sim = " + ".join(
+            f"case when {prefix}{b} > 0 then {1 << b}::BIGINT else 0 end" for b in range(32)
+        )
+        return f"({sim}) as {alias}"
+
+    return f"""
+with tok as (
+  select doc_id as id, unnest({_SQL_TOKS}) as t from documents where doc_id < 300),
+hashed as (
+  select id,
+         ('0x' || substr(md5(t || '#10'), 1, 15))::BIGINT as ha,
+         ('0x' || substr(md5(t || '#11'), 1, 15))::BIGINT as hb
+  from tok),
+votes as (select id, {votes} from hashed group by id)
+select id, {fold('a', 'sim_hi')}, {fold('b', 'sim_lo')} from votes
+"""
+
+
 def q27_knn_cosine(spark, sf):  # W6 similarity-search
     emb = load(spark, sf, "embeddings")
     out = KNN.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
@@ -1086,6 +1115,14 @@ def x54_simhash_near_pairs(spark, sf):
     return DD.simhash_near_pairs(d, max_dist=8)
 
 
+def x60_simhash64_near_pairs(spark, sf):
+    """64-bit SimHash near-pairs (8-bit bands at max_dist=7 — the selective
+    banding a web-scale corpus needs; 100%-recall pigeonhole guarantee
+    asserted against brute force in tests/test_operators.py)."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return DD.simhash64_near_pairs(d, max_dist=7)
+
+
 
 
 def x58_crawler_status(spark, sf):
@@ -1204,6 +1241,7 @@ SPARK_QUERIES = {
     "q37_json_serialize": q37_json_serialize,
     "q38_rollup": q38_rollup,
     "q39_embedding_near_pairs": q39_embedding_near_pairs,
+    "q45_simhash64": q45_simhash64,
     "q40_process_citations": q40_process_citations,
     "q41_citation_split": q41_citation_split,
     "q42_semantic_search": q42_semantic_search,
@@ -1219,6 +1257,7 @@ SPARK_QUERIES = {
     "x57_host_skew_wave": x57_host_skew_wave,
     "x58_crawler_status": x58_crawler_status,
     "x59_render_tei": x59_render_tei,
+    "x60_simhash64_near_pairs": x60_simhash64_near_pairs,
 }
 
 ORACLE_SQL = {
@@ -1248,6 +1287,7 @@ ORACLE_SQL = {
     "q24_minhash_lsh": _sql_q24(),
     "q25_jaccard_pairs": _SQL_Q25,
     "q26_simhash": _sql_q26(),
+    "q45_simhash64": _sql_q45(),
     "q27_knn_cosine": _SQL_Q27,
     "q28_text_quality": _SQL_Q28,
     "q29_lang_guess": _SQL_Q29,

@@ -100,6 +100,30 @@ def test_simhash_near_pairs_full_recall(near_dup_corpus, max_dist):
     assert brute, "oracle found no near pairs — fixture is broken"
 
 
+@pytest.mark.parametrize("max_dist", [5, 7])
+def test_simhash64_near_pairs_full_recall(near_dup_corpus, max_dist):
+    """64-bit banding carries the same pigeonhole guarantee as the 32-bit
+    path — every pair at Hamming distance ≤ max_dist found — with bands
+    selective enough for web-scale corpora (8-10 bits, not 3-4)."""
+    sims = {
+        r["id"]: (r["sim_hi"] << 32) | r["sim_lo"]
+        for r in DD.simhash64(near_dup_corpus).collect()
+    }
+    ids = sorted(sims)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= max_dist
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash64_near_pairs(near_dup_corpus, max_dist=max_dist).collect()
+    }
+    assert banded == brute
+    assert brute, "oracle found no 64-bit near pairs — fixture is broken"
+
+
 def test_lsh_bucket_cap_bounds_boilerplate(spark):
     """Adversarial boilerplate corpus: 200 identical docs would create a
     200-member band bucket (→ ~20k pairs per band). The cap drops the

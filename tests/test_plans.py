@@ -47,6 +47,19 @@ def test_map_side_partial_agg(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
 
 
+def test_composed_pipeline_join_strategies(spark, sf_dir):
+    """Round-2 composed workloads must pick the scale-right physical joins:
+    small sides broadcast (valid-id semi-join, metadata, cited-set labels);
+    the only nested-loop is the deliberately-broadcast KNN scoring join."""
+    p40 = plan_of(SPARK_QUERIES["q40_process_citations"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p40 and "SortMergeJoin" not in p40
+    p42 = plan_of(SPARK_QUERIES["q42_semantic_search"](spark, sf_dir), "simple")
+    assert p42.count("BroadcastHashJoin") >= 2  # metadata join + cited-set label join
+    assert "CartesianProduct" not in p42  # KNN side is broadcast, never cartesian
+    p44 = plan_of(SPARK_QUERIES["q44_paginate_cited_by"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p44 and "SortMergeJoin" not in p44
+
+
 @pytest.mark.parametrize("name", [n for n in SPARK_QUERIES if n.startswith("q")])
 def test_no_row_python_in_oracle_queries(spark, sf_dir, name):
     """Every oracle-checked operator stays JVM-side: no BatchEvalPython
