@@ -63,6 +63,96 @@ def test_stateful_streaming_sessionize_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def test_transform_with_state_sessionize_equals_batch(spark, sf_dir):
+    """The transformWithStateInPandas (StatefulProcessor/ValueState) form
+    must converge to the same result as the batch sessionizer — both
+    stateful APIs share one vectorized core. Skipped where google.protobuf
+    (the TWS state protocol's python dependency) is not installed — this
+    sandbox ships pyspark without it; the processor logic itself is the
+    same `_advance` core the applyInPandasWithState parity test covers."""
+    from arxiv_crawler_spark.streaming.events import sessionize
+    from arxiv_crawler_spark.streaming.stateful import streaming_sessionize_tws, tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed — transformWithState protocol unavailable")
+
+    events_path = f"{sf_dir}/events.parquet"
+    want = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["sum_value"], r["session_start"], r["session_end"]
+        )
+        for r in sessionize(spark.read.parquet(events_path)).collect()
+    }
+
+    stream = streaming_sessionize_tws(spark, events_path)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {}
+    for r in spark.sql("select * from sess_tws_test").collect():
+        got[(r["user_id"], r["session_idx"])] = (
+            r["n_events"], r["sum_value"], r["session_start"], r["session_end"]
+        )
+    assert got == want
+
+
+def test_session_processor_wrapper_logic():
+    """The StatefulProcessor wrapper must thread ValueState through the
+    shared _advance core exactly like the GroupState wrapper — tested with
+    a fake state handle so it runs even without the TWS protocol deps."""
+    import pandas as pd
+
+    from arxiv_crawler_spark.streaming.stateful import _SessionProcessor, _advance
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01 12:00:00"]
+    )
+    batch1 = pd.DataFrame({"ts": ts, "event_id": [1, 2, 3], "value": [1.0, 2.0, 3.0]})
+    batch2 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 12:20:00"]), "event_id": [4], "value": [4.0]}
+    )
+    proc = _SessionProcessor(30 * 60.0)
+    proc.session = FakeValueState()
+    out1 = pd.concat(list(proc.handleInputRows((7,), iter([batch1]), None)))
+    out2 = pd.concat(list(proc.handleInputRows((7,), iter([batch2]), None)))
+    # oracle: run the shared core over the same two batches directly
+    rows1, st = _advance(7, batch1, None, 30 * 60.0)
+    rows2, _ = _advance(7, batch2, st, 30 * 60.0)
+    assert out1.to_dict("records") == rows1
+    assert out2.to_dict("records") == rows2
+    # semantic spot-checks: 2 sessions in batch 1; batch 2 event (12:20)
+    # continues session 2 (gap 20 min < 30) with its running aggregates
+    assert [r["session_idx"] for r in rows1] == [1, 2]
+    assert rows2 == [
+        {
+            "user_id": 7, "session_idx": 2, "n_events": 2, "sum_value": 7.0,
+            "session_start": "2024-01-01 12:00:00.000000",
+            "session_end": "2024-01-01 12:20:00.000000",
+        }
+    ]
+
+
 def test_stateful_state_spans_microbatches(spark, sf_dir, tmp_path):
     """Split the events into three time-ordered files and feed them one per
     micro-batch — sessions that straddle a batch boundary must still merge
