@@ -310,6 +310,38 @@ class SnapshotStore:
         self._write_manifest(m)
         return m
 
+    def gc(self) -> dict[str, Any]:
+        """Expire unreferenced snapshots (Iceberg ``expire_snapshots``).
+
+        COW means every commit strands the files it replaced (old frontier
+        buckets, folded seen runs, superseded bloom shards); they stay on
+        disk so the PREVIOUS manifest remains valid until the flip — but
+        once a new manifest is live, anything it does not reference is
+        garbage. Deletes whole snapshot dirs none of whose files are
+        referenced by the live manifest; the current snapshot dir is always
+        kept. Returns {removed, kept, bytes_freed}.
+        """
+        m = self.manifest()
+        snaps_root = os.path.join(self.path, "snapshots")
+        removed: list[str] = []
+        kept: list[str] = []
+        freed = 0
+        for d in sorted(os.listdir(snaps_root)) if os.path.isdir(snaps_root) else []:
+            snap = f"snapshots/{d}"
+            if snap == m["snapshot"] or self.is_referenced(snap, m):
+                kept.append(snap)
+                continue
+            full = os.path.join(snaps_root, d)
+            for root, _, files in os.walk(full):
+                for fn in files:
+                    try:
+                        freed += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+            shutil.rmtree(full)
+            removed.append(snap)
+        return {"removed": removed, "kept": kept, "bytes_freed": freed}
+
     def _compact_seen_tiers(
         self, snap: str, seen_deltas: list[str], seen_weights: list[int]
     ) -> tuple[list[str], list[int]]:

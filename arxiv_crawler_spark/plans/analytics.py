@@ -819,7 +819,10 @@ from orders group by rollup(1, 2)
 
 
 def q39_embedding_near_pairs(spark, sf):  # dedup-embedding-cosine
-    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ 0.35)."""
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ 0.35) — the
+    EXACT all-pairs form (oracle-checkable; O(n²), guarded to 150 vecs).
+    The 100-TB path is x55 / operators.knn.lsh_near_pairs: same output
+    contract, LSH-bucketed candidates, no all-pairs join."""
     emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))

@@ -38,6 +38,39 @@ def test_seen_compaction_preserves_dedupe(spark, tmp_path_factory):
     assert m["processed_count"] == 14
 
 
+def test_snapshot_gc_keeps_live_state(spark, tmp_path_factory):
+    """gc() must delete only snapshots the live manifest no longer
+    references; every table stays readable and resume still works."""
+    import os
+
+    pages = spark_pages(spark, gen_world(n_docs=40, seed=42)).cache()
+    d = str(tmp_path_factory.mktemp("gc"))
+    eng = CrawlEngine(
+        spark, d, pages, CrawlConfig(mode="replay", max_papers=12, n_buckets=8)
+    )
+    eng.bootstrap(gen_seeds(40))
+    eng.run(max_rounds=8)
+    m = eng.store.manifest()
+    before_trace = [tuple(r) for r in eng.trace().collect()]
+    before_seen = sorted(tuple(r) for r in eng.store.seen(m).collect())
+
+    stats = eng.store.gc()
+    assert stats["removed"], "COW must have stranded at least one old snapshot"
+    assert stats["bytes_freed"] > 0
+    # fetched/edges deltas live in per-round snapshots → those stay
+    for rel in m["seen_deltas"] + m["fetched_deltas"] + m["edges_deltas"]:
+        assert os.path.exists(os.path.join(d, rel)), rel
+    assert [tuple(r) for r in eng.trace().collect()] == before_trace
+    assert sorted(tuple(r) for r in eng.store.seen().collect()) == before_seen
+
+    # a fresh engine resumes over the gc'ed store and finishes the crawl
+    eng2 = CrawlEngine(
+        spark, d, pages, CrawlConfig(mode="replay", max_papers=12, n_buckets=8)
+    )
+    eng2.run()
+    assert eng2.store.manifest()["processed_count"] == 12
+
+
 def test_cow_buckets_carried_forward(spark, tmp_path_factory):
     """Unchanged frontier buckets must be referenced from older snapshots,
     not rewritten (manifest paths spanning multiple snapshot dirs)."""
