@@ -232,9 +232,12 @@ class SnapshotStore:
         if seen_delta is not None:
             sdir = f"{snap}/seen_delta"
             # coalesce (no shuffle): one file per ~1M rows keeps the delta
-            # chain scan-cheap without collapsing large waves onto one task
+            # chain scan-cheap without collapsing large waves onto one task;
+            # sortWithinPartitions gives each row group a tight url_hash
+            # min/max so the anti-join probe scan prunes on statistics
             jobs.append(
                 lambda: seen_delta.coalesce(16)
+                .sortWithinPartitions("url_hash")
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.path, sdir))
             )

@@ -185,6 +185,32 @@ def test_distributed_bloom_equivalence_and_layout(spark, world_pdf, oracle_out, 
     assert without.store.manifest()["bloom_shards"] is None
 
 
+def test_bloom_mid_crawl_activation(spark, world_pdf, oracle_out, tmp_path_factory):
+    """With a nonzero activation threshold the bloom starts inactive, folds
+    the ENTIRE seen set in when the threshold is crossed mid-crawl, and the
+    final seen set still matches the oracle (a partial fold would create
+    bloom false negatives → urls crawled twice)."""
+    world, seeds, _, _ = oracle_out
+    _, st = crawl_oracle(world, seeds, max_papers=10_000)
+    pages = spark_pages(spark, world_pdf)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("bloom_mid")),
+        pages,
+        CrawlConfig(
+            mode="wave", max_papers=10_000, wave_size=16, round_seconds=48.0,
+            n_buckets=8, use_bloom=True, bloom_min_seen=20,  # crosses after ~round 1
+        ),
+    )
+    eng.bootstrap(seeds)
+    eng.run(max_rounds=100)
+    ms = eng.store.manifest()
+    assert ms["bloom_shards"], "threshold crossed — bloom must be active"
+    want = {_id_to_url(a): s for a, s in seen_set(st).items()}
+    got = {r["url"]: r["status"] for r in eng.seen_statuses().collect()}
+    assert got == want
+
+
 def test_lineage_counters(replay_engine):
     m = replay_engine.store.manifest()
     lin = m["lineage"]
