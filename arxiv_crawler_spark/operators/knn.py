@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "lsh_topk", "lsh_near_pairs"]
+__all__ = ["cosine", "brute_force_topk", "lsh_topk", "lsh_near_pairs", "ivf_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -138,6 +138,108 @@ def lsh_topk(
         scored = scored.unionByName(s)
     # dedup candidates found by several tables/probes (cos is identical)
     scored = scored.groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _lloyd_kmeans(x: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd's k-means on L2-normalized vectors (spherical k-means —
+    the IVF coarse quantizer). Deterministic: fixed init, fixed iteration
+    count. Runs driver-side on a bounded SAMPLE, exactly like FAISS trains
+    its IVF quantizer on a training subset (search.py:60-75's IndexFlatIP
+    generalized)."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _cell_dots(vec: Column, cents: np.ndarray) -> Column:
+    """Array of cosine(vec, centroid_i) — centroids are unit-norm literals,
+    so dot/|vec| is the cosine; |vec| cancels inside argmax either way."""
+    return F.array(
+        *[_dot(vec, F.array(*[F.lit(float(v)) for v in c])) for c in cents]
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    sample_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the second
+    scale path next to ``lsh_topk``.
+
+    Train a spherical-k-means coarse quantizer on a bounded corpus sample
+    (driver-side numpy, like FAISS); bake the unit-norm centroids into the
+    plan as literals; assign every corpus vector to its argmax-cosine cell
+    (pure JVM expression); score each query only against its ``n_probe``
+    closest cells. Cost ≈ |Q|·|C|·n_probe/n_cells; candidates are exact-
+    cosine-verified, recall asserted ≥ 0.85 in tests/test_operators.py.
+    """
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = _lloyd_kmeans(sample, n_cells, seed=seed)
+    n_cells = len(cents)
+    n_probe = min(n_probe, n_cells)
+
+    dots_c = _cell_dots(F.col(vec_col), cents)
+    # argmax cell: first position of the max (deterministic tie-break)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        (F.array_position(dots_c, F.array_max(dots_c)) - 1).cast("int").alias("cell"),
+    )
+    dots_q = _cell_dots(F.col(vec_col), cents)
+    # top-n_probe cells per query: sort (dot desc, idx asc) structs, slice
+    pairs = F.transform(
+        dots_q, lambda v, i: F.struct(v.alias("v"), i.cast("int").alias("i"))
+    )
+    ordered = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["v"] > b["v"], F.lit(-1))
+        .when(a["v"] < b["v"], F.lit(1))
+        .otherwise((a["i"] - b["i"]).cast("int")),
+    )
+    probes = F.transform(F.slice(ordered, 1, n_probe), lambda s: s["i"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probes).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

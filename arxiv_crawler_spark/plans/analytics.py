@@ -1092,6 +1092,14 @@ def x52_knn_lsh(spark, sf):
     return KNN.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def x61_knn_ivf(spark, sf):
+    """IVF similarity search (spherical-k-means coarse quantizer + cell
+    probes) — the second ANN scale path next to x52's LSH; planted-neighbor
+    recall ≥ 0.9 asserted in tests/test_operators.py."""
+    emb = load(spark, sf, "embeddings")
+    return KNN.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=16, n_probe=6)
+
+
 def x53_media_features(spark, sf):
     """Multimodal plumbing: synthetic media → Arrow feature extraction.
 
@@ -1261,6 +1269,7 @@ SPARK_QUERIES = {
     "x58_crawler_status": x58_crawler_status,
     "x59_render_tei": x59_render_tei,
     "x60_simhash64_near_pairs": x60_simhash64_near_pairs,
+    "x61_knn_ivf": x61_knn_ivf,
 }
 
 ORACLE_SQL = {

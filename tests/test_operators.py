@@ -217,6 +217,38 @@ def test_lsh_near_pairs_recall_on_planted_dups(spark, sf_dir):
     assert got <= exact
 
 
+def test_ivf_recall(spark, sf_dir):
+    """The IVF path (spherical-k-means coarse quantizer + n_probe cells)
+    must find ≥ 0.9 of true near neighbors (perturbed queries → their
+    source vector) while probing only 4/16 cells, keep useful recall even
+    on near-random data, and be deterministic (fixed-seed quantizer)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    rng = np.random.RandomState(3)
+    qrows = [
+        (10_000 + i, (base[i] + 0.05 * np.linalg.norm(base[i]) / 8 * rng.randn(len(base[i]))).astype("float32").tolist())
+        for i in sorted(base)[:30]
+    ]
+    queries = spark.createDataFrame(qrows, ["vec_id", "embedding"])
+    hits = KNN.ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4, dim=len(base[0]))
+    by_q = {}
+    for r in hits.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    found = sum(1 for qid, ns in by_q.items() if (qid - 10_000) in ns)
+    recall = found / len(qrows)
+    assert recall >= 0.9, f"IVF planted-neighbor recall too low: {recall}"
+
+    # near-random data floor: recall@5 well above the scored fraction
+    q20 = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in KNN.brute_force_topk(q20, emb, k=5).collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in
+          KNN.ivf_topk(q20, emb, k=5, n_cells=16, n_probe=6, dim=64).collect()}
+    assert len(exact & ap) / len(exact) >= 0.6  # ~0.37 of corpus scored
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             KNN.ivf_topk(q20, emb, k=5, n_cells=16, n_probe=6, dim=64).collect()}
+    assert again == ap  # deterministic index + search
+
+
 def test_multimodal_features(spark):
     media = synth_media(spark, n=30)
     feats = extract_features(media, dim=8).collect()
