@@ -1,0 +1,75 @@
+"""Embeddings-pipeline operators beyond the DuckDB oracle: the
+existing/proposed labeling branch, split stability, and index density
+(reference: build_embeddings_dataset.py, browser/app.py:148-211)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.plans.embeddings_pipeline import (
+    hash_split,
+    process_citations,
+    semantic_search,
+)
+
+
+def test_semantic_search_existing_vs_proposed(spark):
+    """A query paper's already-cited neighbors must label "existing", the
+    rest "proposed"; the paper itself never appears; ranks stay dense."""
+    rng = np.random.RandomState(5)
+    base = rng.randn(16).astype(np.float64)
+    rows = [(0, base.astype("float32").tolist())]
+    for i in range(1, 9):  # neighbor i = base + growing noise → rank order 1..8
+        v = base + 0.05 * i * np.linalg.norm(base) / 4 * rng.randn(16)
+        rows.append((i, v.astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cited = spark.createDataFrame([(0, 1), (0, 3), (0, 77)], ["citer", "cited"])
+    meta = spark.createDataFrame([(i, f"m{i}") for i in range(9)], ["neighbor_id", "tag"])
+
+    out = semantic_search(
+        emb.filter(F.col("vec_id") == 0), emb, cited, meta, top_k=5
+    ).collect()
+    assert len(out) == 5
+    assert all(r["neighbor_id"] != 0 for r in out)  # overfetch+filter-self
+    assert [r["final_rank"] for r in sorted(out, key=lambda r: r["final_rank"])] == [1, 2, 3, 4, 5]
+    labels = {r["neighbor_id"]: r["citation_type"] for r in out}
+    assert labels[1] == "existing" and labels[3] == "existing"
+    assert all(v == "proposed" for n, v in labels.items() if n not in (1, 3))
+    assert {r["tag"] for r in out} == {f"m{r['neighbor_id']}" for r in out}  # metadata joined
+
+
+def test_hash_split_is_stable_per_citer(spark, sf_dir):
+    """Every citation of one citing paper lands in the same split (the
+    reference's split-by-citer contract), and the split is reproducible."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from arxiv_crawler_spark.plans.analytics import _synth_papers_nested
+
+    papers = _synth_papers_nested(docs)
+    valid = docs.select(F.col("doc_id").cast("string").alias("arxiv_id"))
+    tagged = hash_split(process_citations(papers, valid), test_size=0.2, seed=42)
+    mixed = (
+        tagged.groupBy("citer_arxiv_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert mixed == 0
+    # deterministic across evaluations
+    a = sorted(tuple(r) for r in tagged.select("citer_arxiv_id", "split").distinct().collect())
+    b = sorted(tuple(r) for r in tagged.select("citer_arxiv_id", "split").distinct().collect())
+    assert a == b
+    # both splits non-empty at this sf and roughly the requested fraction
+    frac = tagged.filter("split = 'test'").count() / tagged.count()
+    assert 0.05 < frac < 0.4
+
+
+def test_process_citations_index_dense(spark, sf_dir):
+    """The global row index is dense 0..n-1 (reference with_row_index)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from arxiv_crawler_spark.plans.analytics import _synth_papers_nested
+
+    papers = _synth_papers_nested(docs)
+    valid = docs.select(F.col("doc_id").cast("string").alias("arxiv_id"))
+    out = process_citations(papers, valid)
+    n = out.count()
+    assert out.agg(F.min("idx"), F.max("idx")).collect()[0] == (0, n - 1)
+    assert out.select("idx").distinct().count() == n
