@@ -191,7 +191,17 @@ class SnapshotStore:
             list(prev.get("seen_delta_weights") or [1] * len(prev["seen_deltas"])) if prev else []
         )
         fetched_deltas: list[str] = list(prev.get("fetched_deltas", [])) if prev else []
+        fetched_weights: list[int] = (
+            list(prev.get("fetched_delta_weights") or [1] * len(prev.get("fetched_deltas", [])))
+            if prev
+            else []
+        )
         edges_deltas: list[str] = list(prev.get("edges_deltas", [])) if prev else []
+        edges_weights: list[int] = (
+            list(prev.get("edges_delta_weights") or [1] * len(prev.get("edges_deltas", [])))
+            if prev
+            else []
+        )
 
         # the four data writes are independent jobs → submit them from
         # threads so their stages overlap (Spark schedules concurrent jobs
@@ -251,6 +261,7 @@ class SnapshotStore:
                 .parquet(os.path.join(self.path, fdir2))
             )
             fetched_deltas.append(fdir2)
+            fetched_weights.append(1)
         if edges_delta is not None:
             edir = f"{snap}/edges"
             jobs.append(
@@ -259,6 +270,7 @@ class SnapshotStore:
                 .parquet(os.path.join(self.path, edir))
             )
             edges_deltas.append(edir)
+            edges_weights.append(1)
         bloom_shards = (dict(prev.get("bloom_shards") or {}) if prev else {}) or None
         if bloom_delta is not None:
             # 5th parallel job: executor-side shard update; only the merged
@@ -296,7 +308,15 @@ class SnapshotStore:
                 else:
                     buckets.pop(str(b), None)  # bucket became empty
 
-        seen_deltas, seen_weights = self._compact_seen_tiers(snap, seen_deltas, seen_weights)
+        seen_deltas, seen_weights = self._compact_tiers(
+            snap, seen_deltas, seen_weights, "seen", ["url_hash"]
+        )
+        fetched_deltas, fetched_weights = self._compact_tiers(
+            snap, fetched_deltas, fetched_weights, "fetched", ["round", "global_order"]
+        )
+        edges_deltas, edges_weights = self._compact_tiers(
+            snap, edges_deltas, edges_weights, "edges", ["round", "citing_url"]
+        )
 
         m = {
             "round": round_no,
@@ -305,7 +325,9 @@ class SnapshotStore:
             "seen_deltas": seen_deltas,
             "seen_delta_weights": seen_weights,
             "fetched_deltas": fetched_deltas,
+            "fetched_delta_weights": fetched_weights,
             "edges_deltas": edges_deltas,
+            "edges_delta_weights": edges_weights,
             "bloom_shards": bloom_shards,
             **(meta or {}),
             **measured,
@@ -345,19 +367,28 @@ class SnapshotStore:
             removed.append(snap)
         return {"removed": removed, "kept": kept, "bytes_freed": freed}
 
-    def _compact_seen_tiers(
-        self, snap: str, seen_deltas: list[str], seen_weights: list[int]
+    def _compact_tiers(
+        self,
+        snap: str,
+        deltas: list[str],
+        weights: list[int],
+        name: str,
+        sort_cols: list[str],
     ) -> tuple[list[str], list[int]]:
-        """Size-tiered fold of the seen delta chain (LSM compaction).
+        """Size-tiered fold of an append-only delta chain (LSM compaction).
 
         Tier of a run = floor(log_T(weight)) where weight = number of
         original round-deltas it contains and T = ``compact_seen_after``.
         When a tier holds more than T runs, exactly those runs merge into
-        one hash-sorted run of the next tier, written inside this snapshot
+        one sorted run of the next tier, written inside this snapshot
         (COW — old runs stay for previous manifests). Folds cascade, but a
         single fold never reads more than one tier — so no commit ever
-        rewrites the whole seen table (the round-1 all-at-once fold was an
-        O(|seen|) periodic job; at 10^10 rows that is a non-starter).
+        rewrites a whole 10^10-row table (the round-1 all-at-once fold was
+        an O(|table|) periodic job; at scale that is a non-starter).
+        Applied to ``seen`` (probed every round — sorted by url_hash for
+        row-group pruning) and to the ``fetched``/``edges`` logs (so the
+        manifest's dir lists stay O(T·log rounds) and old per-round
+        snapshot dirs lose their last reference and become gc()-able).
         """
         T = max(2, self.compact_seen_after)
 
@@ -370,23 +401,23 @@ class SnapshotStore:
         fold_no = 0
         while True:
             tiers: dict[int, list[int]] = {}
-            for i, w in enumerate(seen_weights):
+            for i, w in enumerate(weights):
                 tiers.setdefault(tier_of(w), []).append(i)
             target = next((t for t in sorted(tiers) if len(tiers[t]) > T), None)
             if target is None:
-                return seen_deltas, seen_weights
+                return deltas, weights
             idxs = tiers[target]
-            paths = [os.path.join(self.path, seen_deltas[i]) for i in idxs]
-            cdir = f"{snap}/seen_compacted_t{target}_{fold_no}"
+            paths = [os.path.join(self.path, deltas[i]) for i in idxs]
+            cdir = f"{snap}/{name}_compacted_t{target}_{fold_no}"
             fold_no += 1
             (
                 self.spark.read.parquet(*paths)
-                .repartition(max(1, self.n_buckets // 4), "url_hash")
-                .sortWithinPartitions("url_hash")
+                .repartition(max(1, self.n_buckets // 4), *sort_cols)
+                .sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.path, cdir))
             )
-            folded_w = sum(seen_weights[i] for i in idxs)
+            folded_w = sum(weights[i] for i in idxs)
             drop = set(idxs)
-            seen_deltas = [d for i, d in enumerate(seen_deltas) if i not in drop] + [cdir]
-            seen_weights = [w for i, w in enumerate(seen_weights) if i not in drop] + [folded_w]
+            deltas = [d for i, d in enumerate(deltas) if i not in drop] + [cdir]
+            weights = [w for i, w in enumerate(weights) if i not in drop] + [folded_w]

@@ -36,6 +36,13 @@ def test_seen_compaction_preserves_dedupe(spark, tmp_path_factory):
     # compaction must not duplicate or drop rows
     assert seen.count() == m["total_pops"] or seen.count() == seen.select("url").distinct().count()
     assert m["processed_count"] == 14
+    # the fetched/edges logs fold the same way: bounded dir lists, one
+    # fetched row per pop survives, and the trace is still pop-ordered
+    assert len(m["fetched_deltas"]) <= 6 and any("fetched_compacted" in p for p in m["fetched_deltas"])
+    assert sum(m["fetched_delta_weights"]) == m["round"]
+    assert eng.store.fetched().count() == m["total_pops"]
+    orders = [r["order"] for r in eng.trace().collect()]
+    assert orders == sorted(orders) and len(orders) == m["total_pops"]
 
 
 def test_snapshot_gc_keeps_live_state(spark, tmp_path_factory):
