@@ -20,11 +20,13 @@ as composable DataFrame operators.
   filter the context paper itself, join metadata back, and label every
   match "existing" (already cited by the query paper) vs "proposed".
 
-Scale notes: the global row index in ``process_citations`` is a dense
-rank over a deterministic order; at 10^10 rows assign it with the same
-two-level (partition-rank + offset) scheme as crawl/frontier.py
-``_two_level_rank`` — the window form here is the oracle-checkable
-reference semantics.
+Scale notes: the global row index in ``process_citations`` is assigned by
+``operators.rank.global_row_index`` — the generalized form of
+crawl/frontier.py ``_bucketed_rank`` (value-boundary literals + per-bucket
+offsets) — so there is **no single-partition window** in the plan: every
+window is partitioned by a bounded bucket of the (citer, citation
+position, context position) key space. Same dense 0-based semantics as
+the reference's ``with_row_index`` (build_embeddings_dataset.py:91).
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from pyspark.sql import functions as F
 
 from arxiv_crawler_spark.functions.hashing import md5_hash64
 from arxiv_crawler_spark.operators import knn as KNN
+from arxiv_crawler_spark.operators.rank import global_row_index
 
 __all__ = ["process_citations", "hash_split", "semantic_search"]
 
@@ -78,9 +81,8 @@ def process_citations(
         "cit_pos",
         F.posexplode("reference_contexts").alias("ctx_pos", "reference_context"),
     )
-    w = Window.orderBy("citer_arxiv_id", "cit_pos", "ctx_pos")
     return (
-        ctx.withColumn("idx", F.row_number().over(w).cast("long") - 1)
+        global_row_index(ctx, ["citer_arxiv_id", "cit_pos", "ctx_pos"], index_col="idx")
         .withColumn("reference_context", F.coalesce("reference_context", F.lit("")))
         .withColumn("reference_id", F.base64(F.md5("reference_context").cast("binary")))
         .select("citer_arxiv_id", "cited_arxiv_id", "reference_context", "idx", "reference_id")

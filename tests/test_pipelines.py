@@ -73,3 +73,28 @@ def test_process_citations_index_dense(spark, sf_dir):
     n = out.count()
     assert out.agg(F.min("idx"), F.max("idx")).collect()[0] == (0, n - 1)
     assert out.select("idx").distinct().count() == n
+
+
+def test_global_row_index_matches_global_window(spark):
+    """The bucketed global index (operators/rank.py) must equal the
+    single-window row_number() - 1 exactly, on a composite string+int key
+    with skewed duplicates in the non-key columns."""
+    from pyspark.sql import Window
+
+    from arxiv_crawler_spark.operators.rank import global_row_index
+
+    df = (
+        spark.range(5000)
+        .select(
+            F.concat(F.lit("c"), (F.col("id") % 137).cast("string")).alias("a"),
+            (F.col("id") % 41).cast("int").alias("b"),
+            F.col("id").alias("c"),
+        )
+        .repartition(7)  # scramble physical order
+    )
+    got = global_row_index(df, ["a", "b", "c"], index_col="idx", n_buckets=8)
+    w = Window.orderBy("a", "b", "c")
+    want = df.withColumn("idx", F.row_number().over(w).cast("long") - 1)
+    assert got.count() == 5000
+    diff = got.join(want, ["a", "b", "c"]).filter(got["idx"] != want["idx"]).count()
+    assert diff == 0

@@ -60,6 +60,15 @@ def test_composed_pipeline_join_strategies(spark, sf_dir):
     assert "BroadcastHashJoin" in p44 and "SortMergeJoin" not in p44
 
 
+def test_q40_no_single_partition_window(spark, sf_dir):
+    """The global row index must be the bucketed-rank plan (operators/
+    rank.py): no Exchange SinglePartition anywhere — a global window would
+    funnel every citation row through one task at 10^10 rows."""
+    p = plan_of(SPARK_QUERIES["q40_process_citations"](spark, sf_dir), "simple")
+    assert "Window" in p  # the per-bucket window is still there
+    assert "SinglePartition" not in p
+
+
 @pytest.mark.parametrize("name", [n for n in SPARK_QUERIES if n.startswith("q")])
 def test_no_row_python_in_oracle_queries(spark, sf_dir, name):
     """Every oracle-checked operator stays JVM-side: no BatchEvalPython
