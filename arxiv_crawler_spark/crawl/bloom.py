@@ -40,7 +40,7 @@ from typing import Iterator
 
 import numpy as np
 
-__all__ = ["ShardedBloom", "update_bloom_shards", "bloom_prefilter"]
+__all__ = ["ShardedBloom", "update_bloom_shards", "bloom_flag", "bloom_prefilter"]
 
 _MIX1 = np.uint64(0xFF51AFD7ED558CCD)
 _MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
@@ -182,26 +182,29 @@ def update_bloom_shards(
     return bmap
 
 
-def bloom_prefilter(
+def bloom_flag(
     links,
     base_path: str,
     shard_map: dict[str, str],
     n_shards: int,
     bits_per_shard: int,
     n_hashes: int = 7,
-    keep_hits: bool = True,
+    flag_col: str = "_maybe_seen",
 ):
-    """Membership pre-filter against the shard files, executor-side.
+    """Single-pass membership probe against the shard files, executor-side.
 
     Links are repartitioned on the shard key so each task loads only its
-    co-located shard bitmaps (lazily, cached per task). ``keep_hits=True``
-    keeps *maybe seen* rows (Bloom hits → must be exact-checked);
-    ``keep_hits=False`` keeps *definitely unseen* rows.
+    co-located shard bitmaps (lazily, cached per task), and every row gets
+    a ``flag_col`` boolean: True = Bloom hit (*maybe* seen — must be
+    exact-checked against the seen table), False = *definitely unseen*.
+    One repartition + one probe per round — the caller splits on the flag
+    (or folds it into a join condition) instead of probing twice.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     bmap = dict(shard_map or {})
-    schema = links.schema
+    schema = T.StructType(list(links.schema.fields) + [T.StructField(flag_col, T.BooleanType())])
     sess = links.sparkSession
     n_parts = max(1, min(n_shards, sess.sparkContext.defaultParallelism))
 
@@ -220,8 +223,30 @@ def bloom_prefilter(
             for s in np.unique(shards):
                 sel = shards == s
                 mask[sel] = get(int(s)).contains(h[sel])
-            yield pdf[mask if keep_hits else ~mask]
+            out = pdf.copy()
+            out[flag_col] = mask
+            yield out
 
     return links.repartition(
         n_parts, F.pmod(F.col("url_hash"), F.lit(n_shards))
     ).mapInPandas(run, schema=schema)
+
+
+def bloom_prefilter(
+    links,
+    base_path: str,
+    shard_map: dict[str, str],
+    n_shards: int,
+    bits_per_shard: int,
+    n_hashes: int = 7,
+    keep_hits: bool = True,
+):
+    """Filter form of ``bloom_flag``: keep *maybe seen* rows
+    (``keep_hits=True``) or *definitely unseen* rows (``keep_hits=False``).
+    Prefer ``bloom_flag`` when both sides are needed — one probe, not two.
+    """
+    from pyspark.sql import functions as F
+
+    flagged = bloom_flag(links, base_path, shard_map, n_shards, bits_per_shard, n_hashes)
+    cond = F.col("_maybe_seen") if keep_hits else ~F.col("_maybe_seen")
+    return flagged.filter(cond).drop("_maybe_seen")

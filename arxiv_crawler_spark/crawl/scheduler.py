@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arxiv_crawler_spark.crawl import politeness as pol
-from arxiv_crawler_spark.crawl.bloom import bloom_prefilter
+from arxiv_crawler_spark.crawl.bloom import bloom_flag
 from arxiv_crawler_spark.crawl.frontier import (
     encode_seq,
     merge_frontier,
@@ -345,16 +345,20 @@ class CrawlEngine:
         bloom_shards = self.store.bloom_shards(m) if self.cfg.use_bloom else None
         n_seen_approx = total_pops + failed_count  # upper bound on |seen|
         if bloom_shards is not None:
-            maybe_seen = bloom_prefilter(
+            # ONE probe pass (one repartition of the round's links), flag
+            # folded into the anti-join condition: a Bloom miss matches no
+            # seen row by construction (kept for free), a Bloom hit is kept
+            # iff its url_hash is absent from the exact seen table.
+            flagged = bloom_flag(
                 links_ok, self.store.path, bloom_shards, self.cfg.n_buckets,
-                self.cfg.bloom_bits_per_shard, keep_hits=True,
+                self.cfg.bloom_bits_per_shard,
             )
-            surely_new = bloom_prefilter(
-                links_ok, self.store.path, bloom_shards, self.cfg.n_buckets,
-                self.cfg.bloom_bits_per_shard, keep_hits=False,
-            )
-            checked = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")
-            unseen = surely_new.unionByName(checked)
+            seen_k = seen.select(F.col("url_hash").alias("_seen_hash"))
+            unseen = flagged.join(
+                seen_k,
+                (flagged["url_hash"] == seen_k["_seen_hash"]) & flagged["_maybe_seen"],
+                "left_anti",
+            ).drop("_maybe_seen")
         else:
             unseen = links_ok.join(seen.select("url_hash"), "url_hash", "left_anti")
         if self.cfg.mode != "replay":

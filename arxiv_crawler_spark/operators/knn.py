@@ -196,10 +196,20 @@ def ivf_topk(
     closest cells. Cost ≈ |Q|·|C|·n_probe/n_cells; candidates are exact-
     cosine-verified, recall asserted ≥ 0.85 in tests/test_operators.py.
     """
+    # deterministic hash-pruned training sample: a pmod(xxhash64(id), p)
+    # predicate keeps an expected 4·sample_size pseudo-random rows at the
+    # scan, so the ordering that pins determinism sorts ~8k rows — never a
+    # full-corpus TakeOrdered (the count is a cheap metadata/column-pruned
+    # pass; the kmeans stays a bounded driver-side collect, FAISS-style)
+    n_corpus = corpus.count()
+    p = max(1, n_corpus // (4 * sample_size))
+    cand = corpus.select(id_col, vec_col)
+    if p > 1:
+        cand = cand.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(p)) == 0)
     sample = np.array(
         [
             r[0]
-            for r in corpus.select(vec_col)
+            for r in cand.select(vec_col)
             .orderBy(id_col)
             .limit(sample_size)
             .collect()
