@@ -318,6 +318,7 @@ class CrawlEngine:
         edges_out = edges.filter(F.col("cit").isNotNull()).select(
             "citing_url",
             "citing_depth",
+            "bib_index",
             F.lit(round_no).alias("round"),
             F.col("cit.citation_id").alias("citation_id"),
             F.col("cit.authors").alias("authors"),
@@ -513,6 +514,13 @@ class CrawlEngine:
             "num_citations",
             "num_arxiv_citations",
             "extracted_text",
+            # ProcessedPaper metadata (models.py:38-56) — the browser's
+            # search/detail fields, carried on the fetched log
+            "title",
+            "authors",
+            "abstract",
+            "published",
+            "categories",
         )
 
         new_processed = processed_count + int(stats["p"])
@@ -652,6 +660,95 @@ class CrawlEngine:
         }
         return out.orderBy(*orders[sort]).select(
             "url", "internal_citations", "external_citations", "cited_by"
+        )
+
+    def search_papers(self, q: str, limit: int = 100) -> DataFrame:
+        """Keyword search over the crawled papers (browser/app.py:255-290):
+        case-insensitive literal ``contains`` on title OR abstract OR any
+        author (the reference's three-field predicate, :268-276), each hit
+        enriched with its cited-by count (``len(cited_by_index.get(id))``,
+        :280 — citing dataset papers per cited url). The reference takes the
+        first 100 in frame order; distributed, "first" is undefined, so the
+        cap is applied in (cited_by desc, url asc) order — the home page's
+        sort — as the documented divergence."""
+        ql = (q or "").strip().lower()
+        processed = self.store.fetched().filter(F.col("status") == "processed")
+        if not ql:
+            return processed.select(
+                "url", "title", "abstract", "published", "categories"
+            ).withColumn("cited_by_count", F.lit(0).cast("long")).limit(0)
+        hit = (
+            F.contains(F.lower(F.coalesce(F.col("title"), F.lit(""))), F.lit(ql))
+            | F.contains(F.lower(F.coalesce(F.col("abstract"), F.lit(""))), F.lit(ql))
+            | F.exists(
+                F.coalesce(F.col("authors"), F.array().cast("array<string>")),
+                lambda a: F.contains(F.lower(a), F.lit(ql)),
+            )
+        )
+        cited_by = (
+            self.store.edges()
+            .filter(F.col("cited_arxiv_id").isNotNull())
+            .withColumn(
+                "url", canonicalize_url(self.link_resolver(F.col("cited_arxiv_id")))
+            )
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).alias("cited_by_count"))
+        )
+        return (
+            processed.filter(hit)
+            .join(cited_by, "url", "left")
+            .select(
+                "url",
+                "title",
+                "abstract",
+                "published",
+                "categories",
+                F.coalesce("cited_by_count", F.lit(0)).alias("cited_by_count"),
+            )
+            .orderBy(F.desc("cited_by_count"), F.asc("url"))
+            .limit(limit)
+        )
+
+    def cited_by_contexts(self) -> DataFrame:
+        """Reverse-context view (browser/app.py:387-405): for every crawled
+        paper, the reference_contexts with which each *citing* dataset paper
+        cites it — the paper page's "cited by" section. The reference scans
+        the citer's citations and takes the FIRST entry matching the cited
+        id (the ``break`` at :399); here that is ``min_by(contexts,
+        bib_index)`` per (citer, cited) pair. One row per context, with the
+        citer's title joined from the fetched log."""
+        processed = self.store.fetched().filter(F.col("status") == "processed")
+        e = (
+            self.store.edges()
+            .filter(F.col("cited_arxiv_id").isNotNull())
+            .withColumn(
+                "cited_url", canonicalize_url(self.link_resolver(F.col("cited_arxiv_id")))
+            )
+            # the paper page exists for dataset members only
+            .join(
+                processed.select(F.col("url").alias("cited_url")).distinct(),
+                "cited_url",
+                "left_semi",
+            )
+        )
+        first = e.groupBy("cited_url", "citing_url").agg(
+            F.min_by("reference_contexts", "bib_index").alias("ctxs")
+        )
+        # a re-processed url (self-citation re-queue) has two fetched rows;
+        # the reference's arxiv_id_index keeps the last processing (:393)
+        titles = processed.groupBy(F.col("url").alias("citing_url")).agg(
+            F.max_by("title", "global_order").alias("citing_title")
+        )
+        # big-big joins on url keys — leave the strategy to Catalyst/AQE
+        # (broadcast would ship the whole processed set at 10^10 scale)
+        return (
+            first.join(titles, "citing_url", "left")
+            .select(
+                "cited_url",
+                "citing_url",
+                "citing_title",
+                F.posexplode_outer("ctxs").alias("ctx_pos", "reference_context"),
+            )
         )
 
     def queued_status(self, sort: str = "priority") -> DataFrame:

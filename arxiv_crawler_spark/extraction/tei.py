@@ -196,6 +196,49 @@ def extract_citations(xml_bytes: bytes) -> dict[str, dict[str, Any]]:
     return citations
 
 
+def extract_paper_metadata(xml_bytes: bytes) -> dict[str, Any]:
+    """Paper-level metadata from the TEI header — the ProcessedPaper fields
+    the reference gets from the arXiv API (models.py:38-56,
+    get_arxiv_metadata arxiv_util.py:67-88): title, authors, abstract,
+    published, categories (Grobid textClass keywords stand in for the API's
+    category list). Missing elements yield None/[] — the reference's
+    Optional fields."""
+    if xml_bytes[:2] == b"\x1f\x8b":
+        xml_bytes = gzip.decompress(xml_bytes)
+    root = ET.fromstring(xml_bytes)
+    header = root.find(_t("teiHeader"))
+    out: dict[str, Any] = {
+        "title": None,
+        "authors": [],
+        "abstract": None,
+        "published": None,
+        "categories": [],
+    }
+    if header is None:
+        return out
+    title_el = header.find(f"{_t('fileDesc')}/{_t('titleStmt')}/{_t('title')}")
+    if title_el is not None and title_el.text:
+        out["title"] = title_el.text.strip()
+    src = header.find(f"{_t('fileDesc')}/{_t('sourceDesc')}")
+    if src is not None:
+        for pers in src.iter(_t("persName")):
+            parts = [e.text for e in pers.findall(_t("forename")) if e.text]
+            parts += [e.text for e in pers.findall(_t("surname")) if e.text]
+            if parts:
+                out["authors"].append(" ".join(parts))
+    pub = header.find(f"{_t('fileDesc')}/{_t('publicationStmt')}/{_t('date')}")
+    if pub is not None:
+        out["published"] = pub.get("when") or (pub.text or "").strip() or None
+    abs_el = header.find(f"{_t('profileDesc')}/{_t('abstract')}")
+    if abs_el is not None:
+        txt = " ".join("".join(p.itertext()).strip() for p in abs_el.iter(_t("p")))
+        out["abstract"] = txt.strip() or None
+    for term in header.iter(_t("term")):
+        if term.text and term.text.strip():
+            out["categories"].append(term.text.strip())
+    return out
+
+
 def canonical_extraction_json(citations: dict[str, dict[str, Any]]) -> str:
     """Byte-stable canonical form of an extraction — the string compared for
     the byte-identical-per-url invariant (FIXTURES.md §5 format)."""
@@ -224,6 +267,12 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("citations", T.ArrayType(CITATION_STRUCT)),
         T.StructField("extracted_text", T.StringType()),
         T.StructField("num_citations", T.IntegerType()),
+        # ProcessedPaper metadata (models.py:38-56) — header-derived
+        T.StructField("title", T.StringType()),
+        T.StructField("authors", T.ArrayType(T.StringType())),
+        T.StructField("abstract", T.StringType()),
+        T.StructField("published", T.StringType()),
+        T.StructField("categories", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -238,6 +287,8 @@ def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html"
     failing the task.
     """
 
+    meta_cols = ["title", "authors", "abstract", "published", "categories"]
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
@@ -246,6 +297,7 @@ def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html"
                 "citations": [],
                 "extracted_text": [],
                 "num_citations": [],
+                **{c: [] for c in meta_cols},
             }
             for url, html in zip(pdf[url_col], pdf[html_col]):
                 out["url"].append(url)
@@ -264,15 +316,20 @@ def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html"
                         }
                         for cid, c in cits.items()
                     ]
+                    meta = extract_paper_metadata(bytes(html))
                     out["ok"].append(True)
                     out["citations"].append(rows)
                     out["extracted_text"].append(canonical_extraction_json(cits))
                     out["num_citations"].append(len(rows))
+                    for c in meta_cols:
+                        out[c].append(meta[c])
                 except Exception:
                     out["ok"].append(False)
                     out["citations"].append([])
                     out["extracted_text"].append(None)
                     out["num_citations"].append(0)
+                    for c in meta_cols:
+                        out[c].append([] if c in ("authors", "categories") else None)
             yield pd.DataFrame(out)
 
     return pages.select(url_col, html_col).mapInPandas(process, schema=EXTRACTED_SCHEMA)

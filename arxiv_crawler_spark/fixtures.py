@@ -112,6 +112,41 @@ def _bib_entry(rng: random.Random, bib_id: str, cited_id: str | None, strategy: 
     )
 
 
+_CATEGORIES = ["cs.CL", "cs.LG", "cs.IR", "stat.ML", "cs.DC", "math.OC"]
+
+
+def _tei_header(rng: random.Random, doc_idx: int) -> str:
+    """Grobid-shaped teiHeader carrying the ProcessedPaper metadata fields
+    (models.py:38-56): title, authors (sourceDesc persNames), abstract
+    (profileDesc), published date (publicationStmt), categories (textClass
+    keywords — stand-in for the arXiv API's categories)."""
+    w1, w2 = rng.choice(_LOREM), rng.choice(_LOREM)
+    title = f"Document {doc_idx} on {w1} {w2}"
+    n_auth = 1 + rng.randrange(3)
+    authors = "".join(
+        f"<author><persName><forename>A{rng.randrange(40)}</forename>"
+        f"<surname>Doe{rng.randrange(60)}</surname></persName></author>"
+        for _ in range(n_auth)
+    )
+    published = f"{2019 + doc_idx % 6:04d}-{1 + doc_idx % 12:02d}-{1 + doc_idx % 28:02d}"
+    cats = "".join(
+        f"<term>{_CATEGORIES[(doc_idx + j) % len(_CATEGORIES)]}</term>"
+        for j in range(1 + doc_idx % 2)
+    )
+    abstract = f"{_sentence(rng, doc_idx)}. {_sentence(rng, doc_idx + 3)}."
+    return (
+        f"<teiHeader><fileDesc>"
+        f"<titleStmt><title>{title}</title></titleStmt>"
+        f'<publicationStmt><date type="published" when="{published}" /></publicationStmt>'
+        f"<sourceDesc><biblStruct><analytic>{authors}</analytic></biblStruct></sourceDesc>"
+        f"</fileDesc>"
+        f"<profileDesc>"
+        f"<textClass><keywords>{cats}</keywords></textClass>"
+        f"<abstract><div><p>{abstract}</p></div></abstract>"
+        f"</profileDesc></teiHeader>"
+    )
+
+
 def _tei_doc(rng: random.Random, doc_idx: int, bib_entries: list[str], n_cited: int) -> bytes:
     """Well-formed TEI skeleton: header, listBibl, body with <s>-wrapped and
     bare-<p> in-text references to the bib ids."""
@@ -134,8 +169,7 @@ def _tei_doc(rng: random.Random, doc_idx: int, bib_entries: list[str], n_cited: 
     xml = (
         '<?xml version="1.0" encoding="UTF-8"?>'
         f'<TEI xmlns="http://www.tei-c.org/ns/1.0">'
-        f"<teiHeader><fileDesc><titleStmt><title>Document {doc_idx}</title></titleStmt>"
-        f"</fileDesc></teiHeader>"
+        f"{_tei_header(rng, doc_idx)}"
         f"<text><body>{''.join(body_parts)}</body>"
         f"<back><div><listBibl>{''.join(bib_entries)}</listBibl></div></back></text>"
         f"</TEI>"

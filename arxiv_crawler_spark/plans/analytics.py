@@ -1055,6 +1055,156 @@ order by cited_by desc, d.doc_id asc limit 25 offset 25
 """
 
 
+_META_WORDS = ["fox", "graph", "spark", "crawl", "dedup", "index", "shuffle", "parquet"]
+
+
+def _synth_paper_meta(docs: DataFrame) -> DataFrame:
+    """ProcessedPaper-shaped metadata (models.py:38-56), deterministic from
+    doc_id so DuckDB reproduces it: title/abstract draw from an 8-word
+    vocabulary, authors is a 1–3 element array whose surnames are the
+    UPPER-cased vocabulary (exercises the lower() in the search), published
+    is a formatted date string."""
+    i = F.col("doc_id")
+    words = F.array(*[F.lit(w) for w in _META_WORDS])
+    w1 = F.element_at(words, (i % 8 + 1).cast("int"))
+    w2 = F.element_at(words, ((i * 3) % 8 + 1).cast("int"))
+    authors = F.transform(
+        F.sequence(F.lit(1), (F.lit(1) + i % 3).cast("int")),
+        lambda k: F.concat(
+            F.lit("A"), k.cast("string"), F.lit(" "),
+            F.upper(F.element_at(words, ((i * 5 + k) % 8 + 1).cast("int"))),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("Paper "), i.cast("string"), F.lit(" on "), w1).alias("title"),
+        F.concat(F.lit("We study "), w2, F.lit(" at scale")).alias("abstract"),
+        authors.alias("authors"),
+        F.format_string("%04d-%02d-01", F.lit(2019) + i % 6, F.lit(1) + i % 12).alias(
+            "published"
+        ),
+    )
+
+
+_SQL_META = """
+(select doc_id,
+        'Paper ' || doc_id || ' on ' || w[(doc_id % 8) + 1] as title,
+        'We study ' || w[((doc_id * 3) % 8) + 1] || ' at scale' as abstract,
+        list_transform(generate_series(1, 1 + doc_id % 3),
+                       k -> 'A' || k || ' ' || upper(w[((doc_id * 5 + k) % 8) + 1])) as authors,
+        printf('%04d-%02d-01', 2019 + doc_id % 6, 1 + doc_id % 12) as published
+ from (select doc_id,
+              ['fox','graph','spark','crawl','dedup','index','shuffle','parquet'] as w
+       from documents))
+"""
+
+
+def q46_metadata_search(spark, sf):  # P6 F10 J2 (browser/app.py:255-290 search)
+    """The browser's /search over real ProcessedPaper fields: literal
+    case-insensitive contains on title OR abstract OR any author
+    (``exists(authors, a -> contains(lower(a), q))`` — app.py:268-276),
+    each hit enriched with its cited-by count (:280) and capped at 100
+    (:287) in the deterministic (cited_by desc, id) order."""
+    docs = load(spark, sf, "documents")
+    meta = _synth_paper_meta(docs)
+    ql = F.lit("fox")
+    hit = (
+        F.contains(F.lower(F.col("title")), ql)
+        | F.contains(F.lower(F.col("abstract")), ql)
+        | F.exists("authors", lambda a: F.contains(F.lower(a), ql))
+    )
+    counts = _synth_edges(docs).groupBy("cited").agg(F.count(F.lit(1)).alias("cited_by"))
+    return (
+        meta.filter(hit)
+        .join(counts, meta.doc_id == counts.cited, "left")
+        .select(
+            "doc_id",
+            "title",
+            "abstract",
+            "published",
+            F.concat_ws("; ", "authors").alias("authors_str"),
+            F.coalesce("cited_by", F.lit(0)).alias("cited_by_count"),
+        )
+        .orderBy(F.desc("cited_by_count"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+_SQL_Q46 = f"""
+select m.doc_id, m.title, m.abstract, m.published,
+       array_to_string(m.authors, '; ') as authors_str,
+       coalesce(c.cited_by, 0) as cited_by_count
+from {_SQL_META} m
+left join (select cited, count(*) as cited_by from {_SQL_EDGES} e group by 1) c
+  on c.cited = m.doc_id
+where contains(lower(m.title), 'fox') or contains(lower(m.abstract), 'fox')
+   or len(list_filter(m.authors, a -> contains(lower(a), 'fox'))) > 0
+order by cited_by_count desc, m.doc_id asc limit 100
+"""
+
+
+def q47_cited_by_contexts(spark, sf):  # J7 P3 F8 (browser/app.py:387-405)
+    """Per cited dataset paper, the reference_contexts with which each
+    citing paper cites it — the paper page's "cited by" section. The
+    reference takes the FIRST citation entry matching the cited id (the
+    ``break`` at app.py:399) → ``min_by(contexts, position)`` per (citer,
+    cited); contexts null-fill to '' like q40."""
+    docs = load(spark, sf, "documents")
+    papers = _synth_papers_nested(docs)
+    valid = docs.select(F.col("doc_id").cast("string").alias("cited"))
+    ex = papers.select(
+        F.col("arxiv_id").alias("citer"),
+        F.posexplode("citations").alias("cit_pos", "cit"),
+    ).select(
+        "citer",
+        "cit_pos",
+        F.col("cit.arxiv_id").alias("cited"),
+        F.col("cit.reference_contexts").alias("ctxs"),
+    )
+    ex = ex.join(F.broadcast(valid.distinct()), "cited", "left_semi")
+    first = ex.groupBy("cited", "citer").agg(F.min_by("ctxs", "cit_pos").alias("ctxs"))
+    c = F.col("citer").cast("long")
+    words = F.array(*[F.lit(w) for w in _META_WORDS])
+    citing_title = F.concat(
+        F.lit("Paper "), F.col("citer"), F.lit(" on "),
+        F.element_at(words, (c % 8 + 1).cast("int")),
+    )
+    return first.select(
+        F.col("cited").alias("cited_arxiv_id"),
+        F.col("citer").alias("citer_arxiv_id"),
+        citing_title.alias("citing_title"),
+        F.posexplode("ctxs").alias("ctx_pos", "reference_context"),
+    ).select(
+        "cited_arxiv_id",
+        "citer_arxiv_id",
+        "citing_title",
+        F.col("ctx_pos").cast("long").alias("ctx_pos"),
+        F.coalesce("reference_context", F.lit("")).alias("reference_context"),
+    )
+
+
+_SQL_Q47 = """
+with e as (
+  select d.doc_id as citer, k, (d.doc_id * 7 + k) % 500 as cited
+  from documents d, unnest(generate_series(1, 3)) as u(k)),
+v as (
+  select e.* from e
+  where exists (select 1 from documents dd where dd.doc_id = e.cited)),
+fm as (select citer, cited, min(k) as k from v group by 1, 2),
+c as (
+  select citer, cited, j - 1 as ctx_pos,
+         case when (citer * 31 + cited + j) % 7 = 0 then ''
+              else 'ctx ' || citer || '-' || cited || '-' || j end as ctx
+  from fm, unnest(generate_series(1, 1 + (citer + k) % 2)) as w(j))
+select cited::VARCHAR as cited_arxiv_id, citer::VARCHAR as citer_arxiv_id,
+       'Paper ' || citer || ' on ' ||
+       (['fox','graph','spark','crawl','dedup','index','shuffle','parquet'])[(citer % 8) + 1]
+         as citing_title,
+       ctx_pos, ctx as reference_context
+from c
+"""
+
+
 # ------------------------- rows-only (non-SQL-expressible) -----------------
 
 def x50_crawl_replay(spark, sf):
@@ -1212,6 +1362,74 @@ def x57_host_skew_wave(spark, sf):
     return wave.groupBy("host").agg(F.count(F.lit(1)).alias("selected")).orderBy("host")
 
 
+def x62_semantic_search_ann(spark, sf):
+    """q42's composed semantic search with the retrieval core swapped from
+    exact brute force to the IVF index — the 100-TB path (no all-pairs
+    scoring; only n_probe/n_cells of the corpus is scored per query).
+    ≥0.8 overlap with the exact labels/ranks is asserted on clustered
+    vectors in tests/test_pipelines.py."""
+    from arxiv_crawler_spark.operators import knn as KNN
+    from arxiv_crawler_spark.plans.embeddings_pipeline import semantic_search
+
+    emb = load(spark, sf, "embeddings")
+    docs = load(spark, sf, "documents")
+    queries = emb.filter(F.col("vec_id") < 5)
+    edges = _synth_edges(docs).select("citer", "cited")
+    meta = docs.select(F.col("doc_id").alias("neighbor_id"), "lang", "n_chars")
+
+    def ivf(q, c, k):
+        return KNN.ivf_topk(q, c, k=k, n_cells=16, n_probe=8)
+
+    return semantic_search(queries, emb, edges, meta, top_k=5, topk_fn=ivf)
+
+
+def x63_live_metadata_search(spark, sf):
+    """The browser's /search (app.py:255-290) over LIVE crawl state: mini
+    crawl on the metadata-carrying TEI world, then the three-field
+    case-insensitive search (title OR abstract OR any author) with cited-by
+    enrichment — P6 on real ProcessedPaper columns end-to-end."""
+    import tempfile
+
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="xq_search_"),
+        pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=True),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+    out = eng.search_papers("fox")
+    return out.select(
+        "url", "title", "published", F.concat_ws("; ", "categories").alias("categories_str"),
+        "cited_by_count",
+    )
+
+
+def x64_live_cited_by_contexts(spark, sf):
+    """The paper page's cited-by contexts (app.py:387-405) over LIVE crawl
+    state: per crawled paper, the contexts with which citing dataset papers
+    cite it (first-matching-citation semantics via min_by(bib_index))."""
+    import tempfile
+
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="xq_ctx_"),
+        pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=True),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+    return eng.cited_by_contexts()
+
+
 SPARK_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_topk_orders": q02_topk_orders,
@@ -1258,6 +1476,8 @@ SPARK_QUERIES = {
     "q42_semantic_search": q42_semantic_search,
     "q43_seed_mining": q43_seed_mining,
     "q44_paginate_cited_by": q44_paginate_cited_by,
+    "q46_metadata_search": q46_metadata_search,
+    "q47_cited_by_contexts": q47_cited_by_contexts,
     "x50_crawl_replay": x50_crawl_replay,
     "x51_extract_tei": x51_extract_tei,
     "x52_knn_lsh": x52_knn_lsh,
@@ -1270,6 +1490,9 @@ SPARK_QUERIES = {
     "x59_render_tei": x59_render_tei,
     "x60_simhash64_near_pairs": x60_simhash64_near_pairs,
     "x61_knn_ivf": x61_knn_ivf,
+    "x62_semantic_search_ann": x62_semantic_search_ann,
+    "x63_live_metadata_search": x63_live_metadata_search,
+    "x64_live_cited_by_contexts": x64_live_cited_by_contexts,
 }
 
 ORACLE_SQL = {
@@ -1318,4 +1541,6 @@ ORACLE_SQL = {
     "q42_semantic_search": _SQL_Q42,
     "q43_seed_mining": _SQL_Q43,
     "q44_paginate_cited_by": _SQL_Q44,
+    "q46_metadata_search": _SQL_Q46,
+    "q47_cited_by_contexts": _SQL_Q47,
 }

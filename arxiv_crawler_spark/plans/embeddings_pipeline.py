@@ -113,6 +113,7 @@ def semantic_search(
     top_k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    topk_fn=None,
 ) -> DataFrame:
     """Composed semantic-search query (app.py:148-211).
 
@@ -124,10 +125,19 @@ def semantic_search(
     keep the first ``top_k`` in rank order, and label each match
     "existing" if the query paper already cites it, else "proposed"
     (app.py:196-199).
+
+    ``topk_fn(queries, corpus, k)`` swaps the retrieval core: default is
+    the exact brute-force scorer (the reference's IndexFlatIP); pass a
+    closure over ``operators.knn.ivf_topk`` / ``lsh_topk`` for the ANN
+    100-TB path (same output contract: query_id, neighbor_id, cos, rank).
     """
-    over = KNN.brute_force_topk(
-        query_papers, corpus, k=top_k + 1, id_col=id_col, vec_col=vec_col, exclude_self=False
-    )
+    if topk_fn is None:
+        def topk_fn(q, c, k):
+            return KNN.brute_force_topk(
+                q, c, k=k, id_col=id_col, vec_col=vec_col, exclude_self=False
+            )
+
+    over = topk_fn(query_papers, corpus, top_k + 1)
     w = Window.partitionBy("query_id").orderBy("rank")
     matches = (
         over.filter(F.col("neighbor_id") != F.col("query_id"))

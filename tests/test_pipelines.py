@@ -75,6 +75,40 @@ def test_process_citations_index_dense(spark, sf_dir):
     assert out.select("idx").distinct().count() == n
 
 
+def test_semantic_search_ann_overlap(spark):
+    """x62's design contract: swapping the exact brute-force core for the
+    IVF index keeps ≥0.8 neighbor overlap with the exact composed search
+    on clustered vectors (the regime an ANN index targets)."""
+    import numpy as np
+
+    from arxiv_crawler_spark.operators import knn as KNN
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 3
+    rows = []
+    for i in range(48):
+        v = centers[i % 4] + 0.05 * rng.randn(16)
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cited = spark.createDataFrame([(0, 4), (1, 9)], ["citer", "cited"])
+    meta = spark.createDataFrame([(i, f"m{i}") for i in range(48)], ["neighbor_id", "tag"])
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    exact = semantic_search(queries, emb, cited, meta, top_k=5)
+
+    def ivf(q, c, k):
+        return KNN.ivf_topk(q, c, k=k, n_cells=4, n_probe=2, sample_size=48)
+
+    ann = semantic_search(queries, emb, cited, meta, top_k=5, topk_fn=ivf)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    an = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    assert len(ex & an) / len(ex) >= 0.8
+    # labels agree on the overlap
+    exl = {(r["query_id"], r["neighbor_id"]): r["citation_type"] for r in exact.collect()}
+    anl = {(r["query_id"], r["neighbor_id"]): r["citation_type"] for r in ann.collect()}
+    assert all(anl[k] == exl[k] for k in (ex & an))
+
+
 def test_global_row_index_matches_global_window(spark):
     """The bucketed global index (operators/rank.py) must equal the
     single-window row_number() - 1 exactly, on a composite string+int key
