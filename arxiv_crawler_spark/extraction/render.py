@@ -12,13 +12,11 @@ the citation extractor U1), covering the renderer's core surface:
 * paragraphs with inline ``ref type="bibr"`` citations rendered as
   popup-annotated spans or links (first-2-authors + " et al.",
   :258-305)
+* figures, table-figures and MathJax formulas (block + inline), with
+  in-text figure/table refs as ``figure-ref`` spans (:304-306, :321-379)
 * the references list (:381-409)
 * ``escape_html`` with the reference's exact 5-replacement chain,
   ampersand first (:54-62)
-
-Figures / tables / formulas (:321-379) are out of this minimal scope —
-the synthetic TEI world contains none, and they render independently of
-everything above; the dispatch point is marked below.
 """
 
 from __future__ import annotations
@@ -99,6 +97,58 @@ def _bibliography(root: ET.Element) -> dict[str, dict]:
     return bib
 
 
+def _figure_to_html(fig: ET.Element) -> str:
+    """Figure / table-figure (tei_parser.py:322-355). Quirk preserved: the
+    table caption's label is not escaped (:338), the regular figure's is."""
+    label_el = fig.find(_t("label"))
+    desc_el = fig.find(_t("figDesc"))
+    head_el = fig.find(_t("head"))
+    label = label_el.text if label_el is not None and label_el.text else ""
+    desc = desc_el.text if desc_el is not None and desc_el.text else ""
+    head = head_el.text if head_el is not None and head_el.text else ""
+
+    table_el = fig.find(_t("table"))
+    if table_el is not None:
+        table_html = _table_to_html(table_el)
+        caption = f"<strong>{label}</strong>" if label else ""
+        if head:
+            caption += f": {escape_html(head)}"
+        return f"""<figure class="table-figure">
+            {table_html}
+            <figcaption>{caption}</figcaption>
+        </figure>"""
+
+    caption_parts = []
+    if label:
+        caption_parts.append(f"<strong>{escape_html(label)}</strong>")
+    if head:
+        caption_parts.append(escape_html(head))
+    return f"""<figure class="paper-figure">
+        <div class="figure-placeholder">[Figure]</div>
+        <figcaption>{": ".join(caption_parts)}</figcaption>
+        {f'<p class="figure-desc">{escape_html(desc)}</p>' if desc else ''}
+    </figure>"""
+
+
+def _table_to_html(table_el: ET.Element) -> str:
+    """tei_parser.py:358-367."""
+    rows_html = []
+    for row in table_el.findall(_t("row")):
+        cells_html = []
+        for cell in row.findall(_t("cell")):
+            cells_html.append(f"<td>{escape_html(_get_text_joined(cell))}</td>")
+        rows_html.append(f"<tr>{''.join(cells_html)}</tr>")
+    return f'<table class="paper-table">{"".join(rows_html)}</table>'
+
+
+def _formula_to_html(formula_el: ET.Element, inline: bool = False) -> str:
+    """tei_parser.py:370-379 — MathJax-delimited formula text."""
+    formula_text = _get_text_joined(formula_el).strip()
+    if inline:
+        return f'<span class="math-inline">\\({formula_text}\\)</span>'
+    return f'<div class="math-block">\\[{formula_text}\\]</div>'
+
+
 def _p_to_html(p: ET.Element, bib: dict, url_builder) -> str:
     """Paragraph with inline citations (tei_parser.py:258-318)."""
     parts: list[str] = []
@@ -132,10 +182,13 @@ def _p_to_html(p: ET.Element, bib: dict, url_builder) -> str:
                             f'<span class="citation" data-ref-id="{target}" '
                             f'data-popup="{escape_html(popup)}">{escape_html(ref_text)}</span>'
                         )
+                elif child.get("type") in ("figure", "table"):
+                    parts.append(f'<span class="figure-ref">{escape_html(ref_text)}</span>')
                 else:
                     parts.append(escape_html(ref_text))
+            elif tag == "formula":
+                parts.append(_formula_to_html(child, inline=True))
             else:
-                # figure/table/formula dispatch would go here (out of scope)
                 walk(child, include_text=True)
             if child.tail:
                 parts.append(escape_html(child.tail))
@@ -166,6 +219,10 @@ def _div_to_html(div: ET.Element, bib: dict, url_builder, depth: int = 2, sec_id
             parts.append(_p_to_html(child, bib, url_builder))
         elif ctag == "div":
             parts.append(_div_to_html(child, bib, url_builder, depth + 1, sec_idx))
+        elif ctag == "figure":
+            parts.append(_figure_to_html(child))
+        elif ctag == "formula":
+            parts.append(_formula_to_html(child))
     return "\n".join(parts)
 
 
@@ -214,8 +271,15 @@ def render_tei(xml_bytes: bytes, url_builder=None) -> dict[str, str]:
             body_parts = [
                 _div_to_html(d, bib, url_builder, sec_idx=i) for i, d in enumerate(divs)
             ]
-        else:  # paragraph-only bodies (the synthetic world): render in place
-            body_parts = [_p_to_html(p, bib, url_builder) for p in body.iter(_t("p"))]
+        else:  # div-less bodies (the synthetic world): dispatch in place
+            for child in body:
+                ctag = child.tag.replace("{http://www.tei-c.org/ns/1.0}", "")
+                if ctag == "p":
+                    body_parts.append(_p_to_html(child, bib, url_builder))
+                elif ctag == "figure":
+                    body_parts.append(_figure_to_html(child))
+                elif ctag == "formula":
+                    body_parts.append(_formula_to_html(child))
     return {
         "title": title,
         "authors": ", ".join(authors),

@@ -149,7 +149,9 @@ def _tei_header(rng: random.Random, doc_idx: int) -> str:
 
 def _tei_doc(rng: random.Random, doc_idx: int, bib_entries: list[str], n_cited: int) -> bytes:
     """Well-formed TEI skeleton: header, listBibl, body with <s>-wrapped and
-    bare-<p> in-text references to the bib ids."""
+    bare-<p> in-text references to the bib ids, plus figures / table-figures
+    / formulas and in-text figure refs (rotated by doc_idx) for the
+    renderer's tei_parser.py:321-379 branches."""
     body_parts = []
     for k in range(min(n_cited, 6)):
         target = f"b{k}"
@@ -166,6 +168,31 @@ def _tei_doc(rng: random.Random, doc_idx: int, bib_entries: list[str], n_cited: 
                 f"<p><s>{s1} following <ref type=\"bibr\" target=\"#{target}\">[{k}]</ref>.</s>"
                 f"<s>{s2}.</s></p>"
             )
+    if doc_idx % 2 == 0:
+        body_parts.append(
+            f"<p>{_sentence(rng, doc_idx)} (see <ref type=\"figure\" target=\"#fig_0\">"
+            f"Figure {doc_idx % 4 + 1}</ref>), where "
+            f"<formula xml:id=\"f{doc_idx}\">x_{{{doc_idx}}} &gt; 0</formula> holds.</p>"
+        )
+        body_parts.append(
+            f"<figure xml:id=\"fig_0\"><head>{_sentence(rng, doc_idx + 1)}</head>"
+            f"<label>Figure {doc_idx % 4 + 1}</label>"
+            f"<figDesc>{_sentence(rng, doc_idx + 2)} &amp; more</figDesc></figure>"
+        )
+    if doc_idx % 3 == 0:
+        cells = "".join(
+            f"<row><cell>r{r} c{c}</cell><cell>{(doc_idx + r) * (c + 1)}</cell></row>"
+            for r in range(2)
+            for c in range(1)
+        )
+        body_parts.append(
+            f"<figure type=\"table\" xml:id=\"tab_0\"><head>{_sentence(rng, doc_idx + 3)}</head>"
+            f"<label>Table 1</label><table>{cells}</table></figure>"
+        )
+    if doc_idx % 4 == 0:
+        body_parts.append(
+            f"<formula xml:id=\"fb{doc_idx}\">\\sum_i w_i x_i + {doc_idx}</formula>"
+        )
     xml = (
         '<?xml version="1.0" encoding="UTF-8"?>'
         f'<TEI xmlns="http://www.tei-c.org/ns/1.0">'

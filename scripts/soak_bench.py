@@ -1,0 +1,130 @@
+"""Crawl-scale soak: many wave rounds over a ~10^6-URL world with snapshot
+gc() between rounds — evidence that the tiered compaction + COW store hold
+steady-state throughput over a long crawl (no monotonic per-round slowdown,
+bounded on-disk store size).
+
+Usage: python scripts/soak_bench.py  (env: SOAK_DOCS, SOAK_WAVE, SOAK_ROUNDS,
+SOAK_GC_EVERY, SPARK_GRAFT_CPUS). Prints one JSON line per round plus a
+summary line; the summary feeds the BENCH/BASELINE.md soak section.
+
+Slowdown verdict: least-squares slope of per-round seconds over the
+post-warmup rounds, reported as pct-of-mean per round, plus a first-half vs
+second-half mean comparison (the monotonic-slowdown check).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (synth_pages)
+from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine  # noqa: E402
+from arxiv_crawler_spark.fixtures import arxiv_id_of  # noqa: E402
+from arxiv_crawler_spark.session import get_spark  # noqa: E402
+
+
+def du(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    n_docs = int(os.environ.get("SOAK_DOCS", "1200000"))
+    wave = int(os.environ.get("SOAK_WAVE", "50000"))
+    n_rounds = int(os.environ.get("SOAK_ROUNDS", "22"))
+    gc_every = int(os.environ.get("SOAK_GC_EVERY", "1"))
+    warmup = int(os.environ.get("SOAK_WARMUP", "2"))
+
+    spark = get_spark(app_name="arxiv-crawler-spark-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages = bench.synth_pages(spark, n_docs)
+    pages = pages.repartition(4 * spark.sparkContext.defaultParallelism)
+    pages.count()  # codegen-warm outside timing
+
+    store_path = tempfile.mkdtemp(prefix="soak_crawl_")
+    cfg = CrawlConfig(
+        mode="wave",
+        max_papers=n_docs,
+        wave_size=wave,
+        round_seconds=1e9,
+        n_buckets=32,
+        use_bloom=True,
+        hash_algo="murmur64",
+        exact_lineage=False,
+    )
+    eng = CrawlEngine(spark, store_path, pages, cfg)
+    # seed the full 10^6-URL frontier up front: every doc enqueued, so the
+    # frontier stays ~n_docs-sized while waves pop through it
+    eng.bootstrap([arxiv_id_of(i) for i in range(0, n_docs, max(1, n_docs // (4 * wave)))])
+
+    rows = []
+    freed_total = 0
+    for r in range(n_rounds):
+        t0 = time.monotonic()
+        res = eng.run_round()
+        dt = time.monotonic() - t0
+        if res is None:
+            break
+        g = {"bytes_freed": 0}
+        if gc_every and (r + 1) % gc_every == 0:
+            g = eng.store.gc()
+        freed_total += g["bytes_freed"]
+        row = {
+            "round": r,
+            "seconds": round(dt, 2),
+            "urls": res.waved,
+            "urls_per_sec": round(res.waved / dt, 1),
+            "new_links": res.new_links,
+            "frontier_size": res.frontier_size,
+            "gc_bytes_freed": g["bytes_freed"],
+            "store_bytes": du(store_path),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    timed = rows[warmup:]
+    secs = [r["seconds"] for r in timed]
+    xs = list(range(len(secs)))
+    n = len(secs)
+    mx, my = sum(xs) / n, sum(secs) / n
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, secs)) / max(
+        1e-9, sum((x - mx) ** 2 for x in xs)
+    )
+    half = n // 2
+    first, second = secs[:half], secs[half:]
+    summary = {
+        "soak": {
+            "n_docs": n_docs,
+            "wave": wave,
+            "rounds_run": len(rows),
+            "warmup_excluded": warmup,
+            "total_urls": sum(r["urls"] for r in timed),
+            "total_seconds": round(sum(secs), 1),
+            "urls_per_sec_steady": round(sum(r["urls"] for r in timed) / sum(secs), 1),
+            "sec_per_round_mean": round(my, 2),
+            "sec_per_round_slope_pct_of_mean": round(100 * slope / my, 2),
+            "first_half_mean_sec": round(sum(first) / len(first), 2),
+            "second_half_mean_sec": round(sum(second) / len(second), 2),
+            "gc_bytes_freed_total": freed_total,
+            "final_store_bytes": rows[-1]["store_bytes"],
+            "master": spark.sparkContext.master,
+        }
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,63 @@ def test_render_tei_core_surface():
     assert "Great &amp; Good</a>" in r["references_html"]
 
 
+FIG_TEI = b"""<?xml version="1.0" encoding="UTF-8"?>
+<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader>
+<fileDesc><titleStmt><title>Figures</title></titleStmt></fileDesc></teiHeader>
+<text><body>
+<div><head n="2">Results</head>
+<p>As <ref type="figure" target="#fig_0">Figure 1</ref> and
+<ref type="table" target="#tab_0">Table 1</ref> show,
+<formula>E = mc^2</formula> within error.</p>
+<figure xml:id="fig_0"><head>Loss &amp; accuracy</head><label>Figure 1</label>
+<figDesc>Curves over epochs &amp; seeds</figDesc></figure>
+<figure type="table" xml:id="tab_0"><head>Main results</head><label>Table 1</label>
+<table><row><cell>model &amp; data</cell><cell>1</cell></row>
+<row><cell>ours</cell><cell>2</cell></row></table></figure>
+<formula>\\sum_i x_i</formula>
+</div></body></text></TEI>"""
+
+
+def test_render_figures_tables_formulas():
+    """tei_parser.py:321-379 branches: figure placeholder + escaped caption,
+    table-figure rows/cells (label unescaped in the table caption — the
+    reference's quirk), MathJax block/inline delimiters, figure-ref spans."""
+    r = render_tei(FIG_TEI)
+    body = r["body_html"]
+    # in-text refs: figure/table refs are figure-ref spans, never citations
+    assert '<span class="figure-ref">Figure 1</span>' in body
+    assert '<span class="figure-ref">Table 1</span>' in body
+    # inline formula inside the paragraph
+    assert '<span class="math-inline">\\(E = mc^2\\)</span>' in body
+    # block formula at div level
+    assert '<div class="math-block">\\[\\sum_i x_i\\]</div>' in body
+    # regular figure: placeholder + escaped label/head caption + figDesc
+    assert '<figure class="paper-figure">' in body
+    assert '<div class="figure-placeholder">[Figure]</div>' in body
+    assert "<strong>Figure 1</strong>: Loss &amp; accuracy" in body
+    assert '<p class="figure-desc">Curves over epochs &amp; seeds</p>' in body
+    # table-figure: rows/cells escaped, caption "<strong>label</strong>: head"
+    assert '<figure class="table-figure">' in body
+    assert '<table class="paper-table">' in body
+    assert "<td>model &amp; data</td><td>1</td>" in body
+    assert "<tr><td>ours</td><td>2</td></tr>" in body
+    assert "<figcaption><strong>Table 1</strong>: Main results</figcaption>" in body
+
+
+def test_render_pages_covers_figure_branches(spark):
+    """The synthetic world now carries figures/tables/formulas — the Arrow
+    path must emit every branch."""
+    pages = spark_pages(spark, gen_world(n_docs=12, seed=42))
+    out = render_pages(pages).collect()
+    bodies = "\n".join(r["body_html"] for r in out)
+    assert 'class="paper-figure"' in bodies
+    assert 'class="table-figure"' in bodies
+    assert 'class="paper-table"' in bodies
+    assert 'class="math-inline"' in bodies
+    assert 'class="math-block"' in bodies
+    assert 'class="figure-ref"' in bodies
+
+
 def test_render_pages_arrow_batch(spark):
     pages = spark_pages(spark, gen_world(n_docs=12, seed=42))
     out = render_pages(pages).collect()
