@@ -335,37 +335,112 @@ class SnapshotStore:
         self._write_manifest(m)
         return m
 
-    def gc(self) -> dict[str, Any]:
-        """Expire unreferenced snapshots (Iceberg ``expire_snapshots``).
+    def _referenced_paths(self, m: dict[str, Any]) -> set[str]:
+        return (
+            set(m["frontier_buckets"].values())
+            | set(m["seen_deltas"])
+            | set(m.get("fetched_deltas", []))
+            | set(m.get("edges_deltas", []))
+            | set((m.get("bloom_shards") or {}).values())
+        )
 
-        COW means every commit strands the files it replaced (old frontier
-        buckets, folded seen runs, superseded bloom shards); they stay on
-        disk so the PREVIOUS manifest remains valid until the flip — but
-        once a new manifest is live, anything it does not reference is
-        garbage. Deletes whole snapshot dirs none of whose files are
-        referenced by the live manifest; the current snapshot dir is always
-        kept. Returns {removed, kept, bytes_freed}.
+    def gc(self, file_level: bool = True) -> dict[str, Any]:
+        """Expire unreferenced snapshot data (Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files``).
+
+        COW means every commit strands the data it replaced (old frontier
+        buckets, folded seen/fetched/edges runs, superseded bloom shards);
+        it stays on disk so the PREVIOUS manifest remains valid until the
+        flip — but once a new manifest is live, anything it does not
+        reference is garbage. Two passes:
+
+        1. **dir-level**: delete whole snapshot dirs none of whose files
+           are referenced by the live manifest;
+        2. **file-level** (``file_level=True``): inside kept *older*
+           snapshot dirs, delete unreferenced units — individual frontier
+           bucket dirs, superseded delta runs, stale bloom shard files.
+           Without this, one long-lived delta run pins its whole snapshot
+           dir (dir-level alone reclaims nothing on a long crawl).
+
+        The current snapshot dir is always kept whole. Returns
+        {removed, kept, units_removed, bytes_freed}.
         """
         m = self.manifest()
         snaps_root = os.path.join(self.path, "snapshots")
         removed: list[str] = []
         kept: list[str] = []
+        units_removed = 0
         freed = 0
+
+        def sizeof(path: str) -> int:
+            if os.path.isfile(path):
+                try:
+                    return os.path.getsize(path)
+                except OSError:
+                    return 0
+            total = 0
+            for root, _, files in os.walk(path):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+            return total
+
         for d in sorted(os.listdir(snaps_root)) if os.path.isdir(snaps_root) else []:
             snap = f"snapshots/{d}"
             if snap == m["snapshot"] or self.is_referenced(snap, m):
                 kept.append(snap)
                 continue
             full = os.path.join(snaps_root, d)
-            for root, _, files in os.walk(full):
-                for fn in files:
-                    try:
-                        freed += os.path.getsize(os.path.join(root, fn))
-                    except OSError:
-                        pass
+            freed += sizeof(full)
             shutil.rmtree(full)
             removed.append(snap)
-        return {"removed": removed, "kept": kept, "bytes_freed": freed}
+
+        if file_level:
+            refs = self._referenced_paths(m)
+
+            def unit_referenced(rel: str) -> bool:
+                return any(
+                    r == rel or r.startswith(rel + "/") or rel.startswith(r + "/")
+                    for r in refs
+                )
+
+            for snap in kept:
+                if snap == m["snapshot"]:
+                    continue  # never touch the just-written snapshot
+                full = os.path.join(self.path, snap)
+                units: list[str] = []
+                for entry in sorted(os.listdir(full)):
+                    sub = os.path.join(full, entry)
+                    if entry in ("frontier", "bloom") and os.path.isdir(sub):
+                        units += [f"{snap}/{entry}/{c}" for c in sorted(os.listdir(sub))]
+                    else:
+                        units.append(f"{snap}/{entry}")
+                for rel in units:
+                    if unit_referenced(rel):
+                        continue
+                    target = os.path.join(self.path, rel)
+                    freed += sizeof(target)
+                    if os.path.isdir(target):
+                        shutil.rmtree(target)
+                    else:
+                        os.remove(target)
+                    units_removed += 1
+                # prune now-empty container dirs (and the snap dir itself)
+                for entry in ("frontier", "bloom"):
+                    sub = os.path.join(full, entry)
+                    if os.path.isdir(sub) and not os.listdir(sub):
+                        os.rmdir(sub)
+                if os.path.isdir(full) and not os.listdir(full):
+                    os.rmdir(full)
+
+        return {
+            "removed": removed,
+            "kept": kept,
+            "units_removed": units_removed,
+            "bytes_freed": freed,
+        }
 
     def _compact_tiers(
         self,

@@ -62,13 +62,25 @@ def test_snapshot_gc_keeps_live_state(spark, tmp_path_factory):
     before_seen = sorted(tuple(r) for r in eng.store.seen(m).collect())
 
     stats = eng.store.gc()
-    assert stats["removed"], "COW must have stranded at least one old snapshot"
+    assert stats["removed"] or stats["units_removed"], (
+        "COW must have stranded at least one old snapshot or unit"
+    )
     assert stats["bytes_freed"] > 0
-    # fetched/edges deltas live in per-round snapshots → those stay
-    for rel in m["seen_deltas"] + m["fetched_deltas"] + m["edges_deltas"]:
+    # file-level pass: stale units inside kept snapshot dirs (superseded
+    # frontier buckets / folded delta runs / old bloom shards) are pruned
+    assert stats["units_removed"] > 0
+    # every referenced unit survives both passes
+    for rel in (
+        m["seen_deltas"]
+        + m["fetched_deltas"]
+        + m["edges_deltas"]
+        + list(m["frontier_buckets"].values())
+        + list((m.get("bloom_shards") or {}).values())
+    ):
         assert os.path.exists(os.path.join(d, rel)), rel
     assert [tuple(r) for r in eng.trace().collect()] == before_trace
     assert sorted(tuple(r) for r in eng.store.seen().collect()) == before_seen
+    assert eng.store.frontier().count() >= 0 and eng.store.edges().count() > 0
 
     # a fresh engine resumes over the gc'ed store and finishes the crawl
     eng2 = CrawlEngine(
