@@ -85,6 +85,11 @@ class CrawlConfig:
     # jobs per round; with it off the frontier is fully rewritten each
     # round and sizes are reported as -1 (throughput mode)
     exact_lineage: bool = True
+    # expire unreferenced COW snapshots/units every N rounds (0 = never):
+    # a long crawl self-maintains its store (Iceberg expire_snapshots +
+    # remove_orphan_files analog, store.gc) — driver-side file ops only,
+    # overlapped with nothing, so keep it off for latency-sensitive tests
+    gc_every_rounds: int = 0
 
 
 @dataclass
@@ -586,6 +591,8 @@ class CrawlEngine:
             if r is None:
                 break
             results.append(r)
+            if self.cfg.gc_every_rounds and len(results) % self.cfg.gc_every_rounds == 0:
+                self.store.gc()
         return results
 
     # -------------------------------------------------------------- views

@@ -90,6 +90,29 @@ def test_snapshot_gc_keeps_live_state(spark, tmp_path_factory):
     assert eng2.store.manifest()["processed_count"] == 12
 
 
+def test_inline_gc_preserves_crawl(spark, tmp_path_factory):
+    """gc_every_rounds: a crawl that expires snapshots mid-run produces the
+    identical trace and seen set as one that never gc's."""
+    pages = spark_pages(spark, gen_world(n_docs=40, seed=42)).cache()
+
+    def run(gc_every):
+        d = str(tmp_path_factory.mktemp(f"igc{gc_every}"))
+        eng = CrawlEngine(
+            spark, d, pages,
+            CrawlConfig(mode="replay", max_papers=10, n_buckets=8,
+                        gc_every_rounds=gc_every),
+        )
+        eng.bootstrap(gen_seeds(40))
+        eng.run()
+        return eng
+
+    a, b = run(0), run(2)
+    assert [tuple(r) for r in a.trace().collect()] == [tuple(r) for r in b.trace().collect()]
+    assert sorted(tuple(r) for r in a.seen_statuses().collect()) == sorted(
+        tuple(r) for r in b.seen_statuses().collect()
+    )
+
+
 def test_cow_buckets_carried_forward(spark, tmp_path_factory):
     """Unchanged frontier buckets must be referenced from older snapshots,
     not rewritten (manifest paths spanning multiple snapshot dirs)."""
