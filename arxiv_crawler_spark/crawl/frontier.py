@@ -35,6 +35,8 @@ __all__ = [
     "merge_seeds",
     "select_wave",
     "merge_frontier",
+    "hist_cell_cols",
+    "hist_bounds",
 ]
 
 _SEQ_ROUND_SHIFT = 42
@@ -141,6 +143,107 @@ def _scalar_priority(phase: str) -> Column:
     return inv_c * (1 << 22) + d
 
 
+# ---------------------------------------------------------------- histogram
+#
+# The frontier manifest carries a tiny priority histogram per COW bucket:
+# row counts grouped by (depth, count-bin). It is maintained incrementally at
+# commit time (only rewritten buckets recompute theirs — the same COW pattern
+# as bucket sizes) and lets select_wave derive its prefilter threshold and
+# rank-bucket boundaries **driver-side, with zero frontier scan**. Without it,
+# every round pays one approxQuantile pass over the whole frontier — O(10^9
+# rows) of scan per round at web scale just to find ~32 numbers. This is the
+# Iceberg manifest-statistics idea (per-file column stats steering the scan)
+# applied to the priority key.
+#
+# Count bins are exact for c ≤ 31 and log2-spaced above (counts clamp at
+# 2^22-1 like _scalar_priority), so a histogram has ≤ 49 count bins × the few
+# distinct depths a crawl produces — hundreds of cells, not rows.
+
+_HIST_CLAMP = (1 << 22) - 1
+_HIST_EXACT = 31  # bins 0..31 are exact counts; above: 27 + floor(log2(c))
+
+
+def hist_cell_cols() -> list[Column]:
+    """Grouping columns (depth, cbin) for the manifest priority histogram —
+    the Spark-side twin of the driver-side bin arithmetic in hist_bounds."""
+    c = F.least(F.col("count"), F.lit(_HIST_CLAMP))
+    cbin = F.when(c <= _HIST_EXACT, c).otherwise(
+        F.lit(27) + F.floor(F.log2(c))
+    )
+    return [F.col("depth").cast("int").alias("_hd"), cbin.cast("int").alias("_hc")]
+
+
+def _bin_lo(b: int) -> int:
+    return b if b <= _HIST_EXACT else 1 << (b - 27)
+
+
+def hist_total(hist: dict[tuple[int, int], int]) -> int:
+    return sum(hist.values())
+
+
+def hist_bounds(
+    hist: dict[tuple[int, int], int],
+    phase: str,
+    wave_cap: int,
+    n_buckets: int,
+    overfetch: float = 3.0,
+) -> list[float]:
+    """Ascending _scalar_priority boundaries from the manifest histogram.
+
+    Cells tile the scalar-key space exactly: for bfs, cell (d, b) spans
+    ``[d·2²² + inv(hi(b)), d·2²² + inv(lo(b))]`` and cells are key-ascending
+    in (d asc, b desc); for citations the per-bin groups (summed over depth)
+    span disjoint inv-count ranges, key-ascending in b desc. Cumulative
+    counts at cell edges are therefore EXACT row counts ≤ that key — so the
+    last boundary provably covers the global top-wave_cap rows whenever the
+    cumulative count reaches wave_cap (the under-collect fallback in
+    select_wave guards the post-budget case). Boundary spacing targets
+    ~overfetch·wave_cap/n_buckets rows per rank bucket; a coarse cell can
+    exceed that (heavy ties) — _bucketed_rank's mega-bucket sub-split keeps
+    those off a single task."""
+    if not hist:
+        return []
+    inv = lambda c: _HIST_CLAMP - c  # noqa: E731
+    if phase == "bfs":
+        # end-of-cell key = d*2^22 + inv(lo(b)); ascending order: d asc, b desc
+        cells = sorted(
+            ((d, b, n) for (d, b), n in hist.items()), key=lambda t: (t[0], -t[1])
+        )
+        edges = [(float((d << 22) + inv(_bin_lo(b))), n) for d, b, n in cells]
+    elif phase == "citations":
+        by_bin: dict[int, int] = {}
+        for (_, b), n in hist.items():
+            by_bin[b] = by_bin.get(b, 0) + n
+        # end-of-group key = inv(lo(b))*2^22 + (2^22-1): ≥ any depth in the
+        # group, < the next group's minimum key ((inv(lo(b))+1)*2^22)
+        edges = [
+            (float((inv(_bin_lo(b)) << 22) + _HIST_CLAMP), by_bin[b])
+            for b in sorted(by_bin, reverse=True)
+        ]
+    else:
+        raise ValueError(f"unknown phase: {phase}")
+
+    target = max(1, int(overfetch * wave_cap))
+    step = max(1, -(-target // n_buckets))  # ceil
+    bounds: list[float] = []
+    cum = 0
+    next_emit = step
+    for key, n in edges:
+        cum += n
+        if cum >= next_emit or cum >= target:
+            if not bounds or key > bounds[-1]:
+                bounds.append(key)
+            next_emit = cum + step
+        if cum >= target:
+            break
+    if cum < target and (not bounds or edges[-1][0] > bounds[-1]):
+        # frontier smaller than the overfetch target — the threshold must
+        # still cover every row, or the prefilter would silently starve the
+        # wave and force the fallback sort
+        bounds.append(edges[-1][0])
+    return bounds
+
+
 def select_wave(
     frontier: DataFrame,
     phase: str,
@@ -151,6 +254,8 @@ def select_wave(
     salt_factor: int = 8,
     frontier_size: int | None = None,
     threshold_prefilter_min: int = 10_000,
+    priority_hist: dict[tuple[int, int], int] | None = None,
+    mega_bucket_min: int = 1 << 18,
 ) -> DataFrame:
     """Pick the next fetch wave.
 
@@ -179,8 +284,11 @@ def select_wave(
     budgets_can_bind = host_budgets is not None or default_budget < wave_cap
     want_prefilter = wave_cap >= threshold_prefilter_min
     if want_prefilter and frontier_size is None:
-        # parquet count(*) is footer-metadata-only — cheap even at scale
-        frontier_size = frontier.count()
+        if priority_hist:
+            frontier_size = hist_total(priority_hist)
+        else:
+            # parquet count(*) is footer-metadata-only — cheap even at scale
+            frontier_size = frontier.count()
     large = bool(want_prefilter and frontier_size and frontier_size > 4 * wave_cap)
 
     if wave_cap > 1 and budgets_can_bind:
@@ -205,22 +313,30 @@ def select_wave(
         cand = cand.drop("_r1", "_r2")
 
     if large:
-        # Large waves: one approxQuantile pass yields B ascending boundaries
-        # of the scalar priority key, spaced to cover ~3·wave_cap rows. The
-        # last boundary is the prefilter threshold (rows beyond it would be
-        # deferred to later rounds regardless — scan efficiency only); the
-        # boundaries also bucket the survivors for a fully parallel exact
-        # rank (no single-task sort/window anywhere). Falls back to the
-        # simple exact path if the estimate under-collects (heavy ties).
+        # Large waves: B ascending boundaries of the scalar priority key,
+        # spaced to cover ~3·wave_cap rows. The last boundary is the
+        # prefilter threshold (rows beyond it would be deferred to later
+        # rounds regardless — scan efficiency only); the boundaries also
+        # bucket the survivors for a fully parallel exact rank (no
+        # single-task sort/window anywhere). Boundaries come from the
+        # manifest priority histogram when the caller has one (zero frontier
+        # scan), else from one approxQuantile pass. Falls back to the simple
+        # exact path if the estimate under-collects (binding budgets).
         key = _scalar_priority(phase)
         keyed = cand.withColumn("_pk", key.cast("double"))
         n_buckets = max(2, sess.sparkContext.defaultParallelism)
-        frac = min(1.0, 3.0 * wave_cap / frontier_size)
-        bounds = keyed.stat.approxQuantile(
-            "_pk", [frac * (i + 1) / n_buckets for i in range(n_buckets)], 0.01
-        )
+        if priority_hist:
+            bounds = hist_bounds(priority_hist, phase, wave_cap, n_buckets)
+        else:
+            frac = min(1.0, 3.0 * wave_cap / frontier_size)
+            bounds = keyed.stat.approxQuantile(
+                "_pk", [frac * (i + 1) / n_buckets for i in range(n_buckets)], 0.01
+            )
         filtered = keyed.filter(F.col("_pk") <= bounds[-1])
-        ranked, n_candidates = _bucketed_rank(filtered, bounds, order, wave_cap)
+        ranked, n_candidates = _bucketed_rank(
+            filtered, bounds, order, wave_cap, salt_factor=salt_factor,
+            mega_bucket_min=mega_bucket_min,
+        )
         if n_candidates >= wave_cap:
             return ranked.drop("budget", "_pk")
         cand = keyed.drop("_pk")  # under-collected (heavy ties) — simple exact path
@@ -231,7 +347,12 @@ def select_wave(
 
 
 def _bucketed_rank(
-    filtered: DataFrame, bounds: list[float], order: list[Column], wave_cap: int
+    filtered: DataFrame,
+    bounds: list[float],
+    order: list[Column],
+    wave_cap: int,
+    salt_factor: int = 8,
+    mega_bucket_min: int = 1 << 18,
 ) -> tuple[DataFrame, int]:
     """Exact global priority rank with no single-partition window.
 
@@ -245,33 +366,143 @@ def _bucketed_rank(
     key ties share a bucket, so (bucket asc, within-bucket order) is the
     exact global order. One ≤ n_buckets-row collect turns per-bucket
     counts into rank offsets; buckets starting past wave_cap never reach
-    the window at all. Returns (ranked_df, total_candidates) — the total
-    doubles as the prefilter's under-collect check, saving a count job.
+    the window at all.
+
+    **Mega buckets** (> ``mega_bucket_min`` rows — at web scale the COMMON
+    case: a BFS frontier is mostly (depth=d, count=1) ties, which share one
+    priority key and land in one bucket) are sub-split before the window.
+    (key, discovery_seq) extends the priority key to the exact total order,
+    so value boundaries on the PAIR cut a mega bucket into contiguous order
+    ranges: a deterministic hash-predicate sample (the IVF-sample pattern)
+    yields per-bucket boundary pairs as plan literals, a per-sub-bucket
+    count collect yields exact offsets, and the final window partitions by
+    (bucket, sub) — every task bounded by ~mega_bucket_min rows, no matter
+    how hot the tie. Exactness: lexicographic (key, seq) order within a
+    bucket IS the priority order, boundaries are literals, offsets are
+    exact counts.
+
+    Returns (ranked_df, total_candidates) — the total doubles as the
+    prefilter's under-collect check, saving a count job.
     """
-    barr = F.array(*[F.lit(float(b)) for b in bounds[:-1]])
-    bucket = F.size(F.filter(barr, lambda b: b < F.col("_pk")))
+    if len(bounds) > 1:
+        barr = F.array(*[F.lit(float(b)) for b in bounds[:-1]])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col("_pk")))
+    else:
+        bucket = F.lit(0)
     r = filtered.withColumn("_bk", bucket)
-    counts = sorted(
-        (row["_bk"], row["c"])
+    counts_map = {
+        int(row["_bk"]): int(row["c"])
         for row in r.groupBy("_bk").agg(F.count(F.lit(1)).alias("c")).collect()
-    )
+    }
     offsets: dict[int, int] = {}
     acc = 0
-    for bk, c in counts:
+    for bk in sorted(counts_map):
         offsets[bk] = acc
-        acc += c
+        acc += counts_map[bk]
     keep = [bk for bk, off in offsets.items() if off < wave_cap]
     if not keep:  # no candidates at all — caller falls back
         return filtered.limit(0).withColumn("pop_rank", F.lit(0)), 0
-    omap = F.create_map(*[F.lit(v) for bk in keep for v in (bk, offsets[bk])])
-    w = Window.partitionBy("_bk").orderBy(*order)
+
+    mega = [bk for bk in keep if counts_map[bk] > mega_bucket_min]
+    sub_bounds = _mega_sub_bounds(r, mega, counts_map, mega_bucket_min) if mega else {}
+    mega = [bk for bk in mega if sub_bounds.get(bk)]
+
+    if not mega:
+        omap = F.create_map(*[F.lit(v) for bk in keep for v in (bk, offsets[bk])])
+        w = Window.partitionBy("_bk").orderBy(*order)
+        ranked = (
+            r.filter(F.col("_bk").isin(keep))
+            .withColumn("pop_rank", (F.row_number().over(w) + omap[F.col("_bk")]).cast("int"))
+            .filter(F.col("pop_rank") <= wave_cap)
+            .drop("_bk")
+        )
+        return ranked, acc
+
+    # sub-bucket id: 0 for normal buckets; for mega buckets, the number of
+    # literal (key, seq) boundary pairs lexicographically below the row
+    sub = F.lit(0)
+    for bk in mega:
+        pairs = F.array(
+            *[
+                F.struct(F.lit(float(p)).alias("p"), F.lit(int(s)).alias("s"))
+                for p, s in sub_bounds[bk]
+            ]
+        )
+        below = F.size(
+            F.filter(
+                pairs,
+                lambda b: (b["p"] < F.col("_pk"))
+                | ((b["p"] == F.col("_pk")) & (b["s"] < F.col("discovery_seq"))),
+            )
+        )
+        sub = F.when(F.col("_bk") == bk, below).otherwise(sub)
+    kept = r.filter(F.col("_bk").isin(keep)).withColumn("_sub", sub)
+
+    # exact per-(bucket, sub) counts → combined offsets (one bounded collect)
+    sub_counts = {
+        (int(row["_bk"]), int(row["_sub"])): int(row["c"])
+        for row in kept.groupBy("_bk", "_sub").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    combined: dict[tuple[int, int], int] = {}
+    for bk in keep:
+        off = offsets[bk]
+        for s in sorted(s for (b, s) in sub_counts if b == bk):
+            combined[(bk, s)] = off
+            off += sub_counts[(bk, s)]
+    live = [k for k, off in combined.items() if off < wave_cap]
+    okey = F.concat_ws(":", F.col("_bk"), F.col("_sub"))
+    omap = F.create_map(
+        *[F.lit(v) for (bk, s) in live for v in (f"{bk}:{s}", combined[(bk, s)])]
+    )
+    w = Window.partitionBy("_bk", "_sub").orderBy(*order)
     ranked = (
-        r.filter(F.col("_bk").isin(keep))
-        .withColumn("pop_rank", (F.row_number().over(w) + omap[F.col("_bk")]).cast("int"))
+        kept.filter(okey.isin([f"{bk}:{s}" for bk, s in live]))
+        .withColumn("pop_rank", (F.row_number().over(w) + omap[okey]).cast("int"))
         .filter(F.col("pop_rank") <= wave_cap)
-        .drop("_bk")
+        .drop("_bk", "_sub")
     )
     return ranked, acc
+
+
+def _mega_sub_bounds(
+    r: DataFrame,
+    mega: list[int],
+    counts_map: dict[int, int],
+    mega_bucket_min: int,
+    sample_per_sub: int = 64,
+) -> dict[int, list[tuple[float, int]]]:
+    """Per-mega-bucket (key, discovery_seq) boundary pairs from ONE bounded
+    deterministic sample job. Sample rate per bucket targets ~sample_per_sub
+    rows per eventual sub-bucket (plenty for balance; exactness never depends
+    on the sample — offsets are exact counts computed afterwards)."""
+    rate_mod: dict[int, int] = {}
+    sub_n: dict[int, int] = {}
+    for bk in mega:
+        c = counts_map[bk]
+        sub_n[bk] = max(2, -(-c // mega_bucket_min))  # ceil
+        rate_mod[bk] = max(1, c // (sample_per_sub * sub_n[bk]))
+    modmap = F.create_map(*[F.lit(v) for bk in mega for v in (bk, rate_mod[bk])])
+    sample = (
+        r.filter(F.col("_bk").isin(mega))
+        .filter(F.pmod(F.xxhash64("url_hash"), modmap[F.col("_bk")]) == 0)
+        .select("_bk", "_pk", "discovery_seq")
+        .collect()
+    )
+    by_bk: dict[int, list[tuple[float, int]]] = {bk: [] for bk in mega}
+    for row in sample:
+        by_bk[int(row["_bk"])].append((float(row["_pk"]), int(row["discovery_seq"])))
+    out: dict[int, list[tuple[float, int]]] = {}
+    for bk, pairs in by_bk.items():
+        pairs.sort()
+        n = sub_n[bk]
+        if len(pairs) < n:  # sample too thin to split usefully
+            continue
+        step = len(pairs) / n
+        cuts = [pairs[int(step * (i + 1)) - 1] for i in range(n - 1)]
+        uniq = sorted(set(cuts))
+        if uniq:
+            out[bk] = uniq
+    return out
 
 
 def merge_frontier(

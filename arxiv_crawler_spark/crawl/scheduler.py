@@ -49,6 +49,7 @@ from arxiv_crawler_spark.crawl import politeness as pol
 from arxiv_crawler_spark.crawl.bloom import bloom_flag
 from arxiv_crawler_spark.crawl.frontier import (
     encode_seq,
+    hist_cell_cols,
     merge_frontier,
     merge_seeds,
     select_wave,
@@ -59,6 +60,44 @@ from arxiv_crawler_spark.functions.hashing import url_hash
 from arxiv_crawler_spark.functions.urls import arxiv_id_to_url, canonicalize_url, host_of
 
 __all__ = ["CrawlConfig", "CrawlEngine"]
+
+
+def _hist_agg(
+    df: DataFrame, bucket_col
+) -> tuple[dict[str, dict[str, int]], dict[str, int]]:
+    """ONE agg job over a frontier → (per-bucket priority histogram,
+    per-bucket row counts). The histogram rides the manifest so the next
+    round's select_wave derives its prefilter threshold and rank-bucket
+    boundaries driver-side — no approxQuantile scan of the frontier, no
+    count job (frontier.py hist_bounds). ≤ n_buckets × a few hundred sparse
+    (depth, count-bin) cells come back to the driver — aggregates, never
+    rows."""
+    rows = (
+        df.groupBy(bucket_col.alias("b"), *hist_cell_cols())
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    hist: dict[str, dict[str, int]] = {}
+    sizes: dict[str, int] = {}
+    for r in rows:
+        b = str(r["b"])
+        hist.setdefault(b, {})[f"{r['_hd']}:{r['_hc']}"] = int(r["c"])
+        sizes[b] = sizes.get(b, 0) + int(r["c"])
+    return hist, sizes
+
+
+def _hist_flat(manifest_hist: dict | None) -> dict[tuple[int, int], int] | None:
+    """Manifest per-bucket histogram → global {(depth, cbin): n} for
+    select_wave (bounds are global; buckets exist only for COW merging)."""
+    if not manifest_hist:
+        return None
+    out: dict[tuple[int, int], int] = {}
+    for cells in manifest_hist.values():
+        for k, n in cells.items():
+            d, cb = k.split(":")
+            key = (int(d), int(cb))
+            out[key] = out.get(key, 0) + int(n)
+    return out or None
 
 
 @dataclass
@@ -193,15 +232,11 @@ class CrawlEngine:
             else None
         )
 
-        # one agg: per-bucket sizes → manifest bookkeeping (saves a count
-        # job every subsequent round)
+        # one agg: per-bucket sizes + priority histogram → manifest
+        # bookkeeping (saves a count job AND the approxQuantile frontier
+        # scan every subsequent round)
         bucket_col = F.pmod(F.col("url_hash"), F.lit(self.cfg.n_buckets)).cast("int")
-        bucket_sizes = {
-            str(r["b"]): int(r["c"])
-            for r in new_frontier.groupBy(bucket_col.alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
+        frontier_hist, bucket_sizes = _hist_agg(new_frontier, bucket_col)
         size = sum(bucket_sizes.values())
         # re-seeding an existing store commits a same-round snapshot under a
         # fresh tag so live data dirs are never clobbered
@@ -226,6 +261,7 @@ class CrawlEngine:
                 "total_pops": pops,
                 "frontier_size": size,
                 "bucket_sizes": bucket_sizes,
+                "frontier_hist": frontier_hist,
                 "max_papers": self.cfg.max_papers,
                 "lineage": {"round": round_no, "frontier_size": size},
             },
@@ -268,6 +304,7 @@ class CrawlEngine:
             default_budget=pol.default_budget(self.cfg.round_seconds),
             salt_factor=self.cfg.salt_factor,
             frontier_size=m["frontier_size"] if m["frontier_size"] > 0 else None,
+            priority_hist=_hist_flat(m.get("frontier_hist")),
         ).cache()
         if self.cfg.exact_lineage:
             waved = wave.count()
@@ -436,35 +473,56 @@ class CrawlEngine:
             frontier_changed_old, wave.select("url_hash"), disc, round_no
         ).cache()
 
-        if self.cfg.exact_lineage:
-            per_bucket = {
-                str(r["b"]): int(r["c"])
-                for r in new_frontier_part.groupBy(bucket_col.alias("b"))
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
+        # The priority-histogram agg (next round's scan-free wave bounds +
+        # per-bucket sizes) runs INSIDE the commit's thread pool, overlapped
+        # with the data writes — it shares the cached merge chain with the
+        # frontier write, so block-level cache locks pipeline the two jobs
+        # instead of computing the chain twice.
+        def frontier_meta() -> dict[str, Any]:
+            hist_changed, per_bucket = _hist_agg(new_frontier_part, bucket_col)
+            frontier_hist = dict(m.get("frontier_hist") or {})
+            if changed is None:  # full rewrite — the new histogram is total
+                frontier_hist = hist_changed
+            else:  # COW: carried-forward buckets keep their cells
+                for b in changed:
+                    if str(b) in hist_changed:
+                        frontier_hist[str(b)] = hist_changed[str(b)]
+                    else:
+                        frontier_hist.pop(str(b), None)
+            if self.cfg.exact_lineage:
+                # exact size from manifest bucket bookkeeping — no extra job
+                bucket_sizes = dict(m.get("bucket_sizes") or {})
+                old_changed = sum(int(bucket_sizes.get(str(b), 0)) for b in changed)
+                for b in changed:
+                    if str(b) in per_bucket:
+                        bucket_sizes[str(b)] = per_bucket[str(b)]
+                    else:
+                        bucket_sizes.pop(str(b), None)
+                new_size = m["frontier_size"] - old_changed + sum(
+                    per_bucket.get(str(b), 0) for b in changed
+                )
+            else:
+                bucket_sizes = {}
+                new_size = sum(per_bucket.values())  # full rewrite — sum is exact
+            return {
+                "frontier_hist": frontier_hist,
+                "bucket_sizes": bucket_sizes,
+                "frontier_size": new_size,
+                "lineage": {
+                    **lineage,
+                    "frontier_size": new_size,
+                    "frontier_changed_buckets": {
+                        str(b): per_bucket.get(str(b), 0) for b in (changed or [])
+                    },
+                },
             }
-            # exact frontier size from manifest bucket bookkeeping — no extra job
-            bucket_sizes = dict(m.get("bucket_sizes") or {})
-            old_changed_count = sum(int(bucket_sizes.get(str(b), 0)) for b in changed)
-            for b in changed:
-                if str(b) in per_bucket:
-                    bucket_sizes[str(b)] = per_bucket[str(b)]
-                else:
-                    bucket_sizes.pop(str(b), None)
-            new_size = m["frontier_size"] - old_changed_count + sum(
-                per_bucket.get(str(b), 0) for b in changed
-            )
-        else:
-            per_bucket = {}
-            bucket_sizes = {}
-            new_size = -1  # unknown; termination is waved == 0
         _mark("lineage aggs")
 
-        # 9. seen delta (+ robots-denied links, only when robots exist)
+        # 9. seen delta (+ robots-denied links, only when robots exist).
+        # ``fetched`` is the wave left-joined to extraction, so it already
+        # carries one (url_hash, url, status) row per wave member — no join.
         n_denied = 0
-        seen_delta = wave.select("url_hash", "url").join(
-            fetched.select("url_hash", "status"), "url_hash"
-        )
+        seen_delta = fetched.select("url_hash", "url", "status")
         if self.robots is not None:
             denied_new = (
                 links_denied.select("url_hash", "url")
@@ -533,7 +591,6 @@ class CrawlEngine:
         lineage = {
             "round": round_no,
             "phase": phase,
-            "frontier_size": new_size,
             "fetched": int(waved),
             "processed": int(stats["p"]),
             "failed": int(stats["f"]),
@@ -542,11 +599,10 @@ class CrawlEngine:
             "robots_denied": n_denied,
             "politeness_deferred": deferred,
             "politeness_deferred_by_host": lineage_hosts,
-            "frontier_changed_buckets": {str(b): per_bucket.get(str(b), 0) for b in (changed or [])},
         }
 
         _mark("pre-commit misc")
-        self.store.commit(
+        committed = self.store.commit(
             round_no,
             frontier_changed=new_frontier_part,
             changed_buckets=changed,
@@ -554,16 +610,15 @@ class CrawlEngine:
             fetched_delta=fetched_out,
             edges_delta=edges_out,
             bloom_delta=bloom_delta,
+            extra_meta_job=frontier_meta,
             meta={
                 "processed_count": new_processed,
                 "failed_count": new_failed,
                 "total_pops": total_pops + waved,
-                "frontier_size": new_size,
-                "bucket_sizes": bucket_sizes,
                 "max_papers": self.cfg.max_papers,
-                "lineage": lineage,
             },
         )
+        new_size = int(committed["frontier_size"])
         _mark("commit")
         for df in (wave, fetched, disc, new_frontier_part):
             df.unpersist()
@@ -577,9 +632,9 @@ class CrawlEngine:
             deduped,
             n_denied,
             deferred,
-            int(new_size),
+            new_size,
             time.monotonic() - t0,
-            lineage,
+            committed["lineage"],
         )
 
 

@@ -33,7 +33,7 @@ import json
 import os
 import shutil
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -158,6 +158,7 @@ class SnapshotStore:
         edges_delta: DataFrame | None = None,
         bloom_delta: DataFrame | None = None,
         meta: dict[str, Any] | None = None,
+        extra_meta_job: Callable[[], dict[str, Any]] | None = None,
         tag: str = "",
     ) -> dict[str, Any]:
         """Write one snapshot.
@@ -175,6 +176,12 @@ class SnapshotStore:
         A pre-existing snapshot directory is a crashed previous attempt
         (its manifest was never flipped) and is clobbered — unless the
         *live* manifest references it, which is a caller bug.
+
+        ``extra_meta_job`` runs in the same thread pool as the data writes
+        (so its Spark job overlaps them — block-level cache locks pipeline
+        shared inputs) and its returned dict is merged into the manifest
+        last; the caller uses it for bookkeeping aggs over data being
+        written (e.g. the frontier priority histogram).
         """
         snap = f"snapshots/r{round_no:06d}{tag}"
         snap_abs = os.path.join(self.path, snap)
@@ -207,7 +214,7 @@ class SnapshotStore:
         # threads so their stages overlap (Spark schedules concurrent jobs
         # from one session); wall cost ≈ the slowest write, not the sum
         jobs = []
-        measured: dict[str, int] = {}
+        measured: dict[str, Any] = {}
         if frontier_changed is not None:
             fdir = f"{snap}/frontier"
 
@@ -288,6 +295,13 @@ class SnapshotStore:
                 )
 
             jobs.append(write_bloom)
+
+        if extra_meta_job is not None:
+
+            def run_extra():
+                measured.update(extra_meta_job())
+
+            jobs.append(run_extra)
 
         if jobs:
             with ThreadPoolExecutor(max_workers=len(jobs)) as ex:

@@ -40,6 +40,7 @@ granularity the reference also pays), no per-row Python UDF calls.
 
 from __future__ import annotations
 
+import functools
 import gzip
 import json
 import re
@@ -55,7 +56,10 @@ TEI_NS = "http://www.tei-c.org/ns/1.0"
 XML_ID = "{http://www.w3.org/XML/1998/namespace}id"
 
 
+@functools.lru_cache(maxsize=64)
 def _t(tag: str) -> str:
+    # called ~700×/doc in the hot batch UDF — the cache turns an f-string
+    # build into a dict hit
     return f"{{{TEI_NS}}}{tag}"
 
 
@@ -127,6 +131,16 @@ def _extract_arxiv_id(bib: ET.Element, venue_list: list[str]) -> str | None:
     return None
 
 
+def parse_tei(xml_bytes: bytes) -> ET.Element:
+    """One shared parse of a stored TEI document (gzip-transparent,
+    crawler.py:123-128). The XML parse dominates extraction cost at ~30-40 KB
+    per doc, so the batch UDF parses ONCE and feeds the same root to both the
+    citation and the metadata extractors."""
+    if xml_bytes[:2] == b"\x1f\x8b":  # gzip magic — stored form
+        xml_bytes = gzip.decompress(xml_bytes)
+    return ET.fromstring(xml_bytes)
+
+
 def extract_citations(xml_bytes: bytes) -> dict[str, dict[str, Any]]:
     """Parse one TEI document → citations dict (the row oracle and the body
     of the batch UDF — one shared implementation).
@@ -135,10 +149,10 @@ def extract_citations(xml_bytes: bytes) -> dict[str, dict[str, Any]]:
     "references": [sorted sentences]}}`` in bibliography document order.
     Raises on undecodable/unparsable input (failure path, crawler.py:181-186).
     """
-    if xml_bytes[:2] == b"\x1f\x8b":  # gzip magic — stored form, crawler.py:123-128
-        xml_bytes = gzip.decompress(xml_bytes)
-    root = ET.fromstring(xml_bytes)
+    return citations_from_root(parse_tei(xml_bytes))
 
+
+def citations_from_root(root: ET.Element) -> dict[str, dict[str, Any]]:
     citations: dict[str, dict[str, Any]] = {}
     references_sets: dict[str, set[str]] = {}
 
@@ -203,9 +217,10 @@ def extract_paper_metadata(xml_bytes: bytes) -> dict[str, Any]:
     published, categories (Grobid textClass keywords stand in for the API's
     category list). Missing elements yield None/[] — the reference's
     Optional fields."""
-    if xml_bytes[:2] == b"\x1f\x8b":
-        xml_bytes = gzip.decompress(xml_bytes)
-    root = ET.fromstring(xml_bytes)
+    return metadata_from_root(parse_tei(xml_bytes))
+
+
+def metadata_from_root(root: ET.Element) -> dict[str, Any]:
     header = root.find(_t("teiHeader"))
     out: dict[str, Any] = {
         "title": None,
@@ -301,8 +316,10 @@ def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html"
             }
             for url, html in zip(pdf[url_col], pdf[html_col]):
                 out["url"].append(url)
+                # parse once; both extractors walk the same tree
                 try:
-                    cits = extract_citations(bytes(html))
+                    root = parse_tei(bytes(html))
+                    cits = citations_from_root(root)
                     rows = [
                         {
                             "citation_id": cid,
@@ -316,7 +333,7 @@ def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html"
                         }
                         for cid, c in cits.items()
                     ]
-                    meta = extract_paper_metadata(bytes(html))
+                    meta = metadata_from_root(root)
                     out["ok"].append(True)
                     out["citations"].append(rows)
                     out["extracted_text"].append(canonical_extraction_json(cits))

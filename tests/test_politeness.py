@@ -190,3 +190,127 @@ def test_multihost_crawl_budgets_and_seen_set(spark, tmp_path_factory):
     }
     got = {r["url"]: r["status"] for r in eng.seen_statuses().collect()}
     assert got == want
+
+
+def _hist_of(frontier):
+    """Build the {(depth, cbin): n} histogram the manifest would carry."""
+    from arxiv_crawler_spark.crawl.frontier import hist_cell_cols
+
+    return {
+        (int(r["_hd"]), int(r["_hc"])): int(r["c"])
+        for r in frontier.groupBy(*hist_cell_cols()).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+
+def test_hist_bounds_wave_matches_simple_path(spark):
+    """Manifest-histogram bounds (zero-scan path) must select the exact same
+    wave + pop_ranks as the simple path and as the approxQuantile path."""
+    rows = [
+        (i * 2_654_435_761 % (1 << 40), f"https://h{i % 17}.x/{i}", f"h{i % 17}.x",
+         (i * 7919) % 400, i % 6, i)
+        for i in range(5000)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "url_hash long, url string, host string, count long, depth int, discovery_seq long"
+    ).repartition(8)
+    hist = _hist_of(frontier)
+    assert sum(hist.values()) == 5000
+    for phase in ("bfs", "citations"):
+        simple = select_wave(
+            frontier, phase, wave_cap=600, default_budget=700,
+            threshold_prefilter_min=10**9,
+        )
+        hist_path = select_wave(
+            frontier, phase, wave_cap=600, default_budget=700,
+            threshold_prefilter_min=100, priority_hist=hist,
+        )
+        s = sorted(tuple(r) for r in simple.collect())
+        h = sorted(tuple(r) for r in hist_path.collect())
+        assert len(s) == 600
+        assert s == h, f"hist-bounds wave mismatch (phase={phase})"
+
+
+def test_tied_frontier_mega_bucket_rank(spark):
+    """The web-scale common case: a frontier that is one giant priority tie
+    (every row (depth=3, count=1)). All rows land in ONE rank bucket; the
+    mega-bucket sub-split must still produce the exact wave with exact
+    pop_ranks — and no single task may have seen the whole bucket."""
+    n = 20000
+    rows = [
+        (i * 2_654_435_761 % (1 << 40), f"https://h{i % 5}.x/{i}", f"h{i % 5}.x", 1, 3, i)
+        for i in range(n)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "url_hash long, url string, host string, count long, depth int, discovery_seq long"
+    ).repartition(16)
+    hist = _hist_of(frontier)
+    assert len(hist) == 1  # genuinely one tie cell
+    for phase in ("bfs", "citations"):
+        simple = select_wave(
+            frontier, phase, wave_cap=4000, default_budget=5000,
+            threshold_prefilter_min=10**9,
+        )
+        for ph in (None, hist):
+            fancy = select_wave(
+                frontier, phase, wave_cap=4000, default_budget=5000,
+                threshold_prefilter_min=100, priority_hist=ph,
+                mega_bucket_min=1024,
+            )
+            s = sorted(tuple(r) for r in simple.collect())
+            f = sorted(tuple(r) for r in fancy.collect())
+            assert len(s) == 4000
+            assert s == f, f"mega-bucket wave mismatch (phase={phase}, hist={ph is not None})"
+
+
+def test_hist_bounds_cover_target_exactly():
+    """hist_bounds' cumulative-coverage contract, brute-forced: rows with
+    key ≤ last boundary must number ≥ min(3·wave_cap, total)."""
+    import random
+
+    from arxiv_crawler_spark.crawl.frontier import hist_bounds
+
+    rnd = random.Random(7)
+    rows = [(rnd.randint(0, 9), rnd.choice([0, 1, 2, 3, 5, 17, 400, 12345])) for _ in range(5000)]
+
+    def cbin(c):
+        import math
+
+        return c if c <= 31 else 27 + int(math.log2(c))
+
+    hist = {}
+    for d, c in rows:
+        k = (d, cbin(c))
+        hist[k] = hist.get(k, 0) + 1
+    for phase in ("bfs", "citations"):
+
+        def key(d, c):
+            inv = (1 << 22) - 1 - c
+            return d * (1 << 22) + inv if phase == "bfs" else inv * (1 << 22) + d
+
+        for cap in (10, 100, 1000, 4000):
+            bounds = hist_bounds(hist, phase, cap, 8)
+            assert bounds == sorted(bounds)
+            covered = sum(1 for d, c in rows if key(d, c) <= bounds[-1])
+            assert covered >= min(3 * cap, len(rows)), (phase, cap, covered)
+
+
+def test_crawl_maintains_frontier_hist(spark, tmp_path_factory):
+    """The manifest histogram must stay exactly consistent with the live
+    frontier across COW rounds (changed buckets replaced, carried buckets
+    kept) — in both lineage modes."""
+    from arxiv_crawler_spark.crawl.frontier import hist_cell_cols
+    from arxiv_crawler_spark.crawl.scheduler import _hist_flat
+
+    pages = spark_pages(spark, gen_world(n_docs=60, seed=42)).cache()
+    for exact in (True, False):
+        eng = CrawlEngine(
+            spark, str(tmp_path_factory.mktemp(f"hist{exact}")), pages,
+            CrawlConfig(mode="wave", wave_size=7, max_papers=30, n_buckets=8,
+                        exact_lineage=exact),
+        )
+        eng.bootstrap(gen_seeds(60))
+        eng.run(max_rounds=3)
+        m = eng.store.manifest()
+        live = _hist_of(eng.store.frontier(m))
+        assert _hist_flat(m.get("frontier_hist")) == (live or None)
+        assert m["frontier_size"] == sum(live.values())
