@@ -329,12 +329,24 @@ class CrawlEngine:
         # the input_hint schema). A duplicate url would double-count its pop;
         # dedup here would shuffle wave×html bytes every round, so the
         # contract lives with the source table (enforce at ingest).
-        fetch = wave_b.join(self.pages.select("url", "html"), "url", "left")
+        fetch = wave_b.join(self.pages.select("url", "html"), "url", "inner")
 
-        # 3. extract (U1, Arrow-batched) and join status back onto the wave
-        ext = extract_pages(fetch.filter(F.col("html").isNotNull()))
+        # 3. extract (U1, Arrow-batched). The wave's scheduling columns ride
+        # THROUGH the UDF (passthrough), so no join reunites wave and
+        # extraction afterwards; the only wave rows missing from ``ext`` are
+        # urls with no page at all (dangling citations → failed pops,
+        # crawler.py:261-263), restored via a left-anti against the
+        # broadcast-able extracted key set — wave-sized, never pages-sized.
+        ext = extract_pages(fetch, passthrough=True).cache()
+        ext_keys = ext.select("url_hash")
+        if (waved if waved is not None else wave_cap) <= self.cfg.broadcast_wave_max:
+            ext_keys = F.broadcast(ext_keys)
+        ext_fields = [f for f in ext.schema.fields if f.name not in wave.columns]
+        missing = wave.join(ext_keys, "url_hash", "left_anti").select(
+            "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in ext_fields]
+        )
         fetched = (
-            wave.join(ext, "url", "left")
+            ext.unionByName(missing)
             .withColumn("ok", F.coalesce(F.col("ok"), F.lit(False)))
             .withColumn(
                 "status", F.when(F.col("ok"), F.lit("processed")).otherwise(F.lit("failed"))
@@ -437,8 +449,12 @@ class CrawlEngine:
             waved = int(stats["p"] or 0) + int(stats["f"] or 0)
             if waved == 0:  # budgets deferred everything; nothing to commit
                 wave.unpersist()
+                ext.unpersist()
                 fetched.unpersist()
                 return None
+        # fetched's cache is materialized now — release the ext cache so the
+        # fat extraction output is held once, not twice
+        ext.unpersist()
         _mark("fetch+extract+stats")
 
         if self.cfg.exact_lineage:
@@ -620,7 +636,7 @@ class CrawlEngine:
         )
         new_size = int(committed["frontier_size"])
         _mark("commit")
-        for df in (wave, fetched, disc, new_frontier_part):
+        for df in (wave, ext, fetched, disc, new_frontier_part):
             df.unpersist()
         return RoundResult(
             round_no,

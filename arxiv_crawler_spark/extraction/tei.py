@@ -292,7 +292,12 @@ EXTRACTED_SCHEMA = T.StructType(
 )
 
 
-def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+def extract_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    passthrough: bool = False,
+) -> DataFrame:
     """Engine extraction: ``(url, html)`` → ``EXTRACTED_SCHEMA`` rows.
 
     ``mapInPandas``: Arrow-batched; each batch is processed with one Python
@@ -300,22 +305,32 @@ def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html"
     granularity the reference pays per Grobid response). Extraction errors
     yield ``ok=false`` rows (→ failed status, crawler.py:181-186) instead of
     failing the task.
+
+    ``passthrough=True`` carries every other input column through the UDF
+    untouched (matched by name on the Arrow boundary). The round loop uses
+    this to keep the wave's scheduling columns attached to their extraction
+    output — no join needed to reunite them afterwards.
     """
 
     meta_cols = ["title", "authors", "abstract", "published", "categories"]
+    if passthrough:
+        out_schema = T.StructType(
+            [f for f in pages.schema.fields if f.name != html_col]
+            + [f for f in EXTRACTED_SCHEMA.fields if f.name != "url"]
+        )
+    else:
+        out_schema = EXTRACTED_SCHEMA
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
-                "url": [],
                 "ok": [],
                 "citations": [],
                 "extracted_text": [],
                 "num_citations": [],
                 **{c: [] for c in meta_cols},
             }
-            for url, html in zip(pdf[url_col], pdf[html_col]):
-                out["url"].append(url)
+            for html in pdf[html_col]:
                 # parse once; both extractors walk the same tree
                 try:
                     root = parse_tei(bytes(html))
@@ -347,6 +362,10 @@ def extract_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html"
                     out["num_citations"].append(0)
                     for c in meta_cols:
                         out[c].append([] if c in ("authors", "categories") else None)
-            yield pd.DataFrame(out)
+            base = (
+                pdf.drop(columns=[html_col]) if passthrough else pdf[[url_col]]
+            ).reset_index(drop=True)
+            yield base.assign(**out)
 
-    return pages.select(url_col, html_col).mapInPandas(process, schema=EXTRACTED_SCHEMA)
+    src = pages if passthrough else pages.select(url_col, html_col)
+    return src.mapInPandas(process, schema=out_schema)
