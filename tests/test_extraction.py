@@ -88,3 +88,38 @@ def test_malformed_html_fails_row_not_job(spark):
     )
     out = extract_pages(spark_pages(spark, pdf)).collect()
     assert len(out) == 1 and out[0]["ok"] is False and out[0]["num_citations"] == 0
+
+
+def test_extract_pages_passthrough(spark):
+    """passthrough=True must carry arbitrary input columns through the Arrow
+    boundary untouched and row-aligned (the round loop's no-rejoin contract),
+    flag null/invalid html as ok=False, and keep the fetch join broadcastable."""
+    from pyspark.sql import functions as F
+
+    from arxiv_crawler_spark.fixtures import gen_world, spark_pages
+
+    pages = spark_pages(spark, gen_world(n_docs=6, seed=42))
+    wave_like = pages.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.lit(3).alias("depth"),
+        (F.length("url") % 7).alias("count"),
+    )
+    fetch = F.broadcast(wave_like).join(pages.select("url", "html"), "url", "inner")
+    # one url with unparsable bytes, one with NULL html (missing page shape)
+    bad = spark.createDataFrame(
+        [("u-bad", 1, 0, 0, bytearray(b"\x00notxml")), ("u-null", 2, 0, 0, None)],
+        "url string, url_hash long, depth int, count int, html binary",
+    )
+    out = extract_pages(fetch.unionByName(bad), passthrough=True)
+    assert "BroadcastHashJoin" in fetch._jdf.queryExecution().executedPlan().toString()
+    got = {r["url"]: r for r in out.collect()}
+    assert set(out.columns) == (set(wave_like.columns) | {
+        "ok", "citations", "extracted_text", "num_citations",
+        "title", "authors", "abstract", "published", "categories"})
+    for r in wave_like.collect():
+        g = got[r["url"]]
+        assert (g["url_hash"], g["depth"], g["count"]) == (r["url_hash"], 3, r["count"])
+        assert g["ok"] is True and g["num_citations"] > 0
+    assert got["u-bad"]["ok"] is False and got["u-null"]["ok"] is False
+    assert got["u-bad"]["extracted_text"] is None
