@@ -22,13 +22,106 @@ Both are JVM-side expressions: a broadcast equi-join on host plus an
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["host_budgets", "split_robots_denied", "DEFAULT_CRAWL_DELAY"]
+__all__ = [
+    "host_budgets",
+    "split_robots_denied",
+    "parse_robots_txt",
+    "parse_robots",
+    "DEFAULT_CRAWL_DELAY",
+]
 
 DEFAULT_CRAWL_DELAY = 3.0  # crawler.py:33
+
+
+def parse_robots_txt(text: str | None, agent: str = "*") -> tuple[float | None, list[str]]:
+    """Parse one robots.txt body into (crawl_delay | None, disallow prefixes)
+    for ``agent`` — the pure-python spec behind :func:`parse_robots` (shared
+    row oracle, unit-tested directly).
+
+    RFC 9309-shaped, scoped to the directives the politeness layer consumes:
+    ``#`` comments stripped; consecutive ``User-agent`` lines share one
+    group; a group matching the agent name exactly (case-insensitive) takes
+    precedence over ``*`` groups; multiple matching groups merge (disallow
+    union, last crawl-delay wins); an empty ``Disallow:`` value allows all;
+    malformed lines are ignored (robots.txt in the wild is lawless)."""
+    agent = agent.lower()
+    groups: list[dict] = []
+    current: dict | None = None
+    in_header = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_header:
+                current = {"agents": set(), "disallow": [], "delay": None}
+                groups.append(current)
+                in_header = True
+            current["agents"].add(val.lower())
+            continue
+        in_header = False
+        if current is None:
+            continue  # rules before any User-agent line are ignored
+        if key == "disallow" and val:
+            current["disallow"].append(val)
+        elif key == "crawl-delay":
+            try:
+                current["delay"] = float(val)
+            except ValueError:
+                pass
+    chosen = [g for g in groups if agent in g["agents"]]
+    if not chosen:
+        chosen = [g for g in groups if "*" in g["agents"]]
+    delay: float | None = None
+    disallow: list[str] = []
+    for g in chosen:
+        disallow.extend(g["disallow"])
+        if g["delay"] is not None:
+            delay = g["delay"]
+    return delay, disallow
+
+
+def parse_robots(
+    robots_txt: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    default_crawl_delay: float = DEFAULT_CRAWL_DELAY,
+) -> DataFrame:
+    """Ingest raw robots.txt bodies: ``(host, robots_txt)`` → the structured
+    ``(host, crawl_delay, disallow)`` table the engine consumes
+    (:func:`host_budgets` / :func:`split_robots_denied` /
+    ``CrawlEngine(robots=...)``).
+
+    Arrow-batched ``mapInPandas`` (ingestion path, once per robots fetch —
+    not the round loop); hosts with no matching group or no Crawl-delay get
+    ``default_crawl_delay`` so downstream budget math never sees a null."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            delays: list[float] = []
+            prefixes: list[list[str]] = []
+            for t in pdf[text_col]:
+                d, p = parse_robots_txt(t, agent)
+                delays.append(float(default_crawl_delay if d is None else d))
+                prefixes.append(p)
+            yield pd.DataFrame(
+                {"host": pdf[host_col], "crawl_delay": delays, "disallow": prefixes}
+            )
+
+    return robots_txt.select(host_col, text_col).mapInPandas(
+        batch, schema="host string, crawl_delay double, disallow array<string>"
+    )
 
 
 def host_budgets(robots: DataFrame | None, round_seconds: float) -> DataFrame | None:

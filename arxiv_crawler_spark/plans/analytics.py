@@ -1430,6 +1430,45 @@ def x64_live_cited_by_contexts(spark, sf):
     return eng.cited_by_contexts()
 
 
+def x65_robots_parse(spark, sf):
+    """Robots.txt ingestion (S-side politeness source): raw per-host
+    robots.txt bodies → the structured (host, crawl_delay, disallow) table
+    the engine consumes, plus the derived per-round budget — Arrow-batched
+    parse (crawl/politeness.py::parse_robots), deterministic synthetic
+    corpus spanning agent precedence, stacked agents, comments, empty
+    Disallow, and malformed lines."""
+    from arxiv_crawler_spark.crawl.politeness import host_budgets, parse_robots
+
+    bodies = [
+        (
+            "a.example.org",
+            "# corpus robots\nUser-agent: *\nDisallow: /private\n"
+            "Crawl-delay: 2\nDisallow: /tmp/\n",
+        ),
+        (
+            "b.example.org",
+            "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /only-bots\n"
+            "Crawl-delay: 0.5\n\nUser-agent: *\nDisallow: /everyone\nCrawl-delay: 9\n",
+        ),
+        ("c.example.org", "User-agent: *\nDisallow:\n"),  # empty = allow all
+        ("d.example.org", "Disallow: /orphan-rule\nnot a directive line\n"),
+        ("e.example.org", None),
+    ]
+    raw = spark.createDataFrame(bodies, "host string, robots_txt string")
+    parsed = parse_robots(raw, agent="graftbot")
+    budgets = host_budgets(parsed, round_seconds=3.0)
+    return (
+        parsed.join(budgets, "host")
+        .select(
+            "host",
+            "crawl_delay",
+            F.concat_ws("|", "disallow").alias("disallow_str"),
+            "budget",
+        )
+        .orderBy("host")
+    )
+
+
 SPARK_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_topk_orders": q02_topk_orders,
@@ -1493,6 +1532,7 @@ SPARK_QUERIES = {
     "x62_semantic_search_ann": x62_semantic_search_ann,
     "x63_live_metadata_search": x63_live_metadata_search,
     "x64_live_cited_by_contexts": x64_live_cited_by_contexts,
+    "x65_robots_parse": x65_robots_parse,
 }
 
 ORACLE_SQL = {

@@ -314,3 +314,65 @@ def test_crawl_maintains_frontier_hist(spark, tmp_path_factory):
         live = _hist_of(eng.store.frontier(m))
         assert _hist_flat(m.get("frontier_hist")) == (live or None)
         assert m["frontier_size"] == sum(live.values())
+
+
+def test_parse_robots_txt_unit():
+    """Pure-parser spec: grouping, precedence, merging, malformed input."""
+    from arxiv_crawler_spark.crawl.politeness import parse_robots_txt
+
+    txt = (
+        "# banner comment\r\n"
+        "User-agent: graftbot\r\n"
+        "User-agent: otherbot  # stacked header\r\n"
+        "Disallow: /bots-only\r\n"
+        "Crawl-delay: 0.5\r\n"
+        "\r\n"
+        "User-agent: *\r\n"
+        "Disallow: /everyone\r\n"
+        "Disallow:\r\n"          # empty value = allow-all, ignored
+        "Crawl-delay: nine\r\n"  # malformed number, ignored
+        "Crawl-delay: 9\r\n"
+    )
+    assert parse_robots_txt(txt, "GraftBot") == (0.5, ["/bots-only"])
+    assert parse_robots_txt(txt, "otherbot") == (0.5, ["/bots-only"])
+    assert parse_robots_txt(txt, "unknown") == (9.0, ["/everyone"])
+    # two groups for the same agent merge: disallow union, last delay wins
+    two = "User-agent: *\nDisallow: /a\nCrawl-delay: 1\nUser-agent: *\nDisallow: /b\nCrawl-delay: 4\n"
+    assert parse_robots_txt(two, "x") == (4.0, ["/a", "/b"])
+    # rules before any User-agent line are ignored; junk lines skipped
+    assert parse_robots_txt("Disallow: /orphan\ngarbage line\n", "x") == (None, [])
+    assert parse_robots_txt(None, "x") == (None, [])
+
+
+def test_parse_robots_feeds_engine_identically(spark, tmp_path_factory):
+    """A crawl driven by parse_robots(raw texts) must behave exactly like one
+    driven by the hand-structured robots table (same denied set, same trace)."""
+    from arxiv_crawler_spark.crawl.politeness import parse_robots
+
+    pages = spark_pages(spark, gen_world(n_docs=30, seed=42)).cache()
+    structured = spark.createDataFrame(
+        [("arxiv.org", 3.0, ["/abs/2100.10002"])],
+        "host string, crawl_delay double, disallow array<string>",
+    )
+    raw = spark.createDataFrame(
+        [("arxiv.org", "User-agent: *\nDisallow: /abs/2100.10002\nCrawl-delay: 3\n")],
+        "host string, robots_txt string",
+    )
+
+    def run(robots, tag):
+        eng = CrawlEngine(
+            spark, str(tmp_path_factory.mktemp(tag)), pages,
+            CrawlConfig(mode="replay", max_papers=8, n_buckets=8),
+            robots=robots,
+        )
+        eng.bootstrap(gen_seeds(30))
+        eng.run()
+        return eng
+
+    a, b = run(structured, "rs"), run(parse_robots(raw), "rp")
+    assert [tuple(r) for r in a.trace().collect()] == [tuple(r) for r in b.trace().collect()]
+    assert sorted(tuple(r) for r in a.seen_statuses().collect()) == sorted(
+        tuple(r) for r in b.seen_statuses().collect()
+    )
+    denied = b.store.seen().filter(F.col("status") == "robots_denied").count()
+    assert denied >= 1
