@@ -376,3 +376,53 @@ def test_parse_robots_feeds_engine_identically(spark, tmp_path_factory):
     )
     denied = b.store.seen().filter(F.col("status") == "robots_denied").count()
     assert denied >= 1
+
+
+def test_wave_paths_randomized_parity(spark):
+    """Randomized (seeded) stress over frontier shapes that mix heavy ties,
+    skewed hosts and spread priorities: every fancy-path configuration
+    (approxQuantile bounds, histogram bounds, mega-split forced on) must
+    reproduce the simple path exactly, both phases."""
+    import random
+
+    for seed in (11, 23):
+        rnd = random.Random(seed)
+        n = rnd.choice([6000, 9000])
+        rows = []
+        for i in range(n):
+            shape = rnd.random()
+            if shape < 0.55:      # massive tie block (web common case)
+                d, c = 3, 1
+            elif shape < 0.8:     # moderate spread
+                d, c = rnd.randint(0, 4), rnd.randint(0, 30)
+            else:                 # hub tail
+                d, c = rnd.randint(0, 2), rnd.randint(100, 50_000)
+            rows.append(
+                (i * 2_654_435_761 % (1 << 40), f"https://h{i % 11}.x/{i}",
+                 f"h{i % 11}.x", c, d, i)
+            )
+        frontier = spark.createDataFrame(
+            rows,
+            "url_hash long, url string, host string, count long, depth int, discovery_seq long",
+        ).repartition(8)
+        hist = _hist_of(frontier)
+        cap = rnd.choice([800, 2000])
+        for phase in ("bfs", "citations"):
+            simple = sorted(
+                tuple(r)
+                for r in select_wave(
+                    frontier, phase, wave_cap=cap, default_budget=cap + 1,
+                    threshold_prefilter_min=10**9,
+                ).collect()
+            )
+            assert len(simple) == cap
+            for ph, mega in ((None, 1 << 18), (hist, 1 << 18), (hist, 256), (None, 256)):
+                fancy = sorted(
+                    tuple(r)
+                    for r in select_wave(
+                        frontier, phase, wave_cap=cap, default_budget=cap + 1,
+                        threshold_prefilter_min=100, priority_hist=ph,
+                        mega_bucket_min=mega,
+                    ).collect()
+                )
+                assert fancy == simple, (seed, phase, ph is not None, mega)
