@@ -404,7 +404,10 @@ def _bucketed_rank(
         return filtered.limit(0).withColumn("pop_rank", F.lit(0)), 0
 
     mega = [bk for bk in keep if counts_map[bk] > mega_bucket_min]
-    sub_bounds = _mega_sub_bounds(r, mega, counts_map, mega_bucket_min) if mega else {}
+    need = {bk: wave_cap - offsets[bk] for bk in keep}
+    sub_bounds = (
+        _mega_sub_bounds(r, mega, counts_map, need, mega_bucket_min) if mega else {}
+    )
     mega = [bk for bk in mega if sub_bounds.get(bk)]
 
     if not mega:
@@ -418,14 +421,24 @@ def _bucketed_rank(
         )
         return ranked, acc
 
-    # sub-bucket id: 0 for normal buckets; for mega buckets, the number of
-    # literal (key, seq) boundary pairs lexicographically below the row
+    # For each mega bucket: drop the bucket's tail past the sampled cut pair
+    # (only the top `need ≤ wave_cap ≤ 2^21` rows can reach the wave, so the
+    # number of literals is bounded by WAVE size, never bucket size), then
+    # sub-bucket survivors by the boundary pairs — the number of literal
+    # (key, seq) pairs lexicographically below the row.
+    lex_le = lambda p, s: (F.lit(p) > F.col("_pk")) | (  # noqa: E731
+        (F.lit(p) == F.col("_pk")) & (F.lit(s) >= F.col("discovery_seq"))
+    )
     sub = F.lit(0)
+    keep_cond = F.lit(True)
     for bk in mega:
+        if sub_bounds[bk]["cut"] is not None:
+            cut_p, cut_s = sub_bounds[bk]["cut"]
+            keep_cond = F.when(F.col("_bk") == bk, lex_le(cut_p, cut_s)).otherwise(keep_cond)
         pairs = F.array(
             *[
                 F.struct(F.lit(float(p)).alias("p"), F.lit(int(s)).alias("s"))
-                for p, s in sub_bounds[bk]
+                for p, s in sub_bounds[bk]["bounds"]
             ]
         )
         below = F.size(
@@ -436,13 +449,20 @@ def _bucketed_rank(
             )
         )
         sub = F.when(F.col("_bk") == bk, below).otherwise(sub)
-    kept = r.filter(F.col("_bk").isin(keep)).withColumn("_sub", sub)
+    kept = r.filter(F.col("_bk").isin(keep)).filter(keep_cond).withColumn("_sub", sub)
 
     # exact per-(bucket, sub) counts → combined offsets (one bounded collect)
     sub_counts = {
         (int(row["_bk"]), int(row["_sub"])): int(row["c"])
         for row in kept.groupBy("_bk", "_sub").agg(F.count(F.lit(1)).alias("c")).collect()
     }
+    # the sampled cut is a heuristic; the counts are exact — if it cut a mega
+    # bucket below its need, rank exactness is gone: fall back (caller takes
+    # the simple path). 4× slack makes this vanishingly rare.
+    for bk in mega:
+        surv = sum(c for (b, _), c in sub_counts.items() if b == bk)
+        if surv < min(need[bk], counts_map[bk]):
+            return filtered.limit(0).withColumn("pop_rank", F.lit(0)), 0
     combined: dict[tuple[int, int], int] = {}
     for bk in keep:
         off = offsets[bk]
@@ -468,19 +488,27 @@ def _mega_sub_bounds(
     r: DataFrame,
     mega: list[int],
     counts_map: dict[int, int],
+    need: dict[int, int],
     mega_bucket_min: int,
-    sample_per_sub: int = 64,
-) -> dict[int, list[tuple[float, int]]]:
-    """Per-mega-bucket (key, discovery_seq) boundary pairs from ONE bounded
-    deterministic sample job. Sample rate per bucket targets ~sample_per_sub
-    rows per eventual sub-bucket (plenty for balance; exactness never depends
-    on the sample — offsets are exact counts computed afterwards)."""
-    rate_mod: dict[int, int] = {}
-    sub_n: dict[int, int] = {}
-    for bk in mega:
-        c = counts_map[bk]
-        sub_n[bk] = max(2, -(-c // mega_bucket_min))  # ceil
-        rate_mod[bk] = max(1, c // (sample_per_sub * sub_n[bk]))
+    sample_target: int = 4096,
+    slack: float = 4.0,
+) -> dict[int, dict]:
+    """Per-mega-bucket tail cut + sub-split boundaries from ONE bounded
+    deterministic sample job (the hash-predicate pattern).
+
+    The sample (~sample_target pairs per bucket, rate as a plan-literal
+    modulus) yields, per bucket: a **cut** pair at the ~slack·need/count
+    quantile — only rows at or before it can reach the wave, so the bucket's
+    tail (arbitrarily large) is filtered before any window — and **boundary**
+    pairs that split the ≲ slack·need survivors into ≤ ceil(slack·need /
+    mega_bucket_min) sub-buckets. Literal count is therefore bounded by the
+    WAVE size (wave_cap ≤ 2^21 by the encode_seq field bound), never by the
+    bucket size — a 10^10-row tie bucket costs the same plan as a 10^6-row
+    one. Exactness never rests on the sample: offsets come from exact counts
+    afterwards, and a too-deep cut is detected there and falls back."""
+    rate_mod = {
+        bk: max(1, counts_map[bk] // sample_target) for bk in mega
+    }
     modmap = F.create_map(*[F.lit(v) for bk in mega for v in (bk, rate_mod[bk])])
     sample = (
         r.filter(F.col("_bk").isin(mega))
@@ -491,17 +519,30 @@ def _mega_sub_bounds(
     by_bk: dict[int, list[tuple[float, int]]] = {bk: [] for bk in mega}
     for row in sample:
         by_bk[int(row["_bk"])].append((float(row["_pk"]), int(row["discovery_seq"])))
-    out: dict[int, list[tuple[float, int]]] = {}
+    out: dict[int, dict] = {}
     for bk, pairs in by_bk.items():
         pairs.sort()
-        n = sub_n[bk]
-        if len(pairs) < n:  # sample too thin to split usefully
+        if len(pairs) < 8:  # sample too thin to act on
             continue
-        step = len(pairs) / n
-        cuts = [pairs[int(step * (i + 1)) - 1] for i in range(n - 1)]
-        uniq = sorted(set(cuts))
-        if uniq:
-            out[bk] = uniq
+        c = counts_map[bk]
+        frac = slack * need[bk] / c
+        if frac >= 1.0:
+            # the whole bucket is within slack of the wave — no tail to cut
+            # (a sampled cut would wrongly drop rows past the last sample)
+            head, cut = pairs, None
+            kept_est = c
+        else:
+            cut_idx = min(len(pairs) - 1, max(1, int(len(pairs) * frac)))
+            head = pairs[: cut_idx + 1]
+            cut = head[-1]
+            kept_est = max(1, int(c * (cut_idx + 1) / len(pairs)))
+        sub_n = max(2, -(-kept_est // mega_bucket_min))  # ceil
+        if len(head) < sub_n:
+            sub_n = max(2, len(head))
+        step = len(head) / sub_n
+        bounds = sorted({head[int(step * (i + 1)) - 1] for i in range(sub_n - 1)})
+        if bounds:
+            out[bk] = {"cut": cut, "bounds": bounds}
     return out
 
 
