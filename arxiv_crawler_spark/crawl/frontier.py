@@ -16,12 +16,20 @@ the *first* maximal item, crawler.py:195-205). Insertion order is exactly
 discovery" — so instead of maintaining a dense counter (which would need a
 global window per round), we *encode* that triple into one int64::
 
-    seq = (round << 42) | (pop_rank << 21) | bib_index
+    seq = (round << 42) | (pop_rank << 14) | bib_index
 
-Order-isomorphic to insertion order, collision-free (pop_rank and bib_index
-< 2^21, round < 2^20 — bounds asserted), and assigned with pure column
-arithmetic: no window, no ``monotonically_increasing_id`` (whose values are
-partition-dependent and would break replay determinism, SURVEY.md §4).
+Order-isomorphic to insertion order, collision-free (pop_rank < 2^28,
+bib_index < 2^14, round < 2^20 — bounds asserted), and assigned with pure
+column arithmetic: no window, no ``monotonically_increasing_id`` (whose
+values are partition-dependent and would break replay determinism,
+SURVEY.md §4).
+
+Field sizing is driven by the deployment shape, not symmetry: a
+1000-executor crawl schedules 10M+-URL waves (BENCH/BASELINE.md §d), so
+pop_rank gets 28 bits (268M-URL waves); bib_index counts bibliography
+entries in ONE paper — the reference's worlds run ~36 (crawler fixture) and
+even pathological survey papers stay well under 2^14 = 16384, and the
+overflow guard raises rather than wrapping if one ever exceeds it.
 """
 
 from __future__ import annotations
@@ -40,8 +48,9 @@ __all__ = [
 ]
 
 _SEQ_ROUND_SHIFT = 42
-_SEQ_RANK_SHIFT = 21
-_SEQ_FIELD_MAX = (1 << 21) - 1
+_SEQ_RANK_SHIFT = 14
+_SEQ_RANK_MAX = (1 << 28) - 1
+_SEQ_BIB_MAX = (1 << 14) - 1
 _SEQ_ROUND_MAX = (1 << 20) - 1
 
 
@@ -68,10 +77,10 @@ def encode_seq(round_no: Column | int, pop_rank: Column | int, bib_index: Column
     replay determinism)."""
     if isinstance(round_no, int) and not (0 <= round_no <= _SEQ_ROUND_MAX):
         raise ValueError(f"encode_seq: round {round_no} out of [0, {_SEQ_ROUND_MAX}]")
-    if isinstance(pop_rank, int) and not (0 <= pop_rank <= _SEQ_FIELD_MAX):
-        raise ValueError(f"encode_seq: pop_rank {pop_rank} out of [0, {_SEQ_FIELD_MAX}]")
-    if isinstance(bib_index, int) and not (0 <= bib_index <= _SEQ_FIELD_MAX):
-        raise ValueError(f"encode_seq: bib_index {bib_index} out of [0, {_SEQ_FIELD_MAX}]")
+    if isinstance(pop_rank, int) and not (0 <= pop_rank <= _SEQ_RANK_MAX):
+        raise ValueError(f"encode_seq: pop_rank {pop_rank} out of [0, {_SEQ_RANK_MAX}]")
+    if isinstance(bib_index, int) and not (0 <= bib_index <= _SEQ_BIB_MAX):
+        raise ValueError(f"encode_seq: bib_index {bib_index} out of [0, {_SEQ_BIB_MAX}]")
     r = F.lit(round_no) if isinstance(round_no, int) else round_no
     p = F.lit(pop_rank) if isinstance(pop_rank, int) else pop_rank
     b = F.lit(bib_index) if isinstance(bib_index, int) else bib_index
@@ -86,14 +95,14 @@ def encode_seq(round_no: Column | int, pop_rank: Column | int, bib_index: Column
     if not isinstance(round_no, int):
         checks.append((r >= 0) & (r <= _SEQ_ROUND_MAX))
     if not isinstance(pop_rank, int):
-        checks.append((p >= 0) & (p <= _SEQ_FIELD_MAX))
+        checks.append((p >= 0) & (p <= _SEQ_RANK_MAX))
     if not isinstance(bib_index, int):
-        checks.append((b >= 0) & (b <= _SEQ_FIELD_MAX))
+        checks.append((b >= 0) & (b <= _SEQ_BIB_MAX))
     if checks:
         cond = checks[0]
         for c in checks[1:]:
             cond = cond & c
-        guard = F.assert_true(cond, F.lit("encode_seq field overflow (>2^21-1 rank/bib or >2^20-1 round)"))
+        guard = F.assert_true(cond, F.lit("encode_seq field overflow (>2^28-1 rank, >2^14-1 bib, or >2^20-1 round)"))
         seq = F.coalesce(guard.cast("long"), seq)
     return seq
 
@@ -250,6 +259,7 @@ def select_wave(
     *,
     wave_cap: int,
     host_budgets: DataFrame | None = None,
+    broadcast_budgets: bool = True,
     default_budget: int = 1,
     salt_factor: int = 8,
     frontier_size: int | None = None,
@@ -269,9 +279,9 @@ def select_wave(
 
     Returns wave rows + ``pop_rank`` (1-based, priority order).
     """
-    if wave_cap > _SEQ_FIELD_MAX:
+    if wave_cap > _SEQ_RANK_MAX:
         raise ValueError(
-            f"wave_cap {wave_cap} exceeds the encode_seq pop_rank field ({_SEQ_FIELD_MAX})"
+            f"wave_cap {wave_cap} exceeds the encode_seq pop_rank field ({_SEQ_RANK_MAX})"
         )
     order = priority_order(phase)
     cand = frontier
@@ -300,7 +310,16 @@ def select_wave(
         # fallback is also checked post-budget, so wave composition is
         # identical to the unfiltered path).
         if host_budgets is not None:
-            cand = cand.join(F.broadcast(host_budgets), "host", "left").withColumn(
+            # host_budgets should be EXCEPTIONS ONLY (hosts whose budget
+            # differs from default_budget — politeness.host_budgets with
+            # exceptions_only=True): the left join + coalesce below treats
+            # absent hosts as default, so shipping default rows is pure
+            # waste. broadcast_budgets=False is the caller's escape hatch
+            # when even the exception set exceeds broadcast size — the join
+            # then shuffles on host, which the windows below shuffle on
+            # anyway (co-partitioned, no extra exchange).
+            bside = F.broadcast(host_budgets) if broadcast_budgets else host_budgets
+            cand = cand.join(bside, "host", "left").withColumn(
                 "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
             )
         else:
@@ -422,7 +441,7 @@ def _bucketed_rank(
         return ranked, acc
 
     # For each mega bucket: drop the bucket's tail past the sampled cut pair
-    # (only the top `need ≤ wave_cap ≤ 2^21` rows can reach the wave, so the
+    # (only the top `need ≤ wave_cap ≤ 2^28` rows can reach the wave, so the
     # number of literals is bounded by WAVE size, never bucket size), then
     # sub-bucket survivors by the boundary pairs — the number of literal
     # (key, seq) pairs lexicographically below the row.
@@ -502,7 +521,7 @@ def _mega_sub_bounds(
     tail (arbitrarily large) is filtered before any window — and **boundary**
     pairs that split the ≲ slack·need survivors into ≤ ceil(slack·need /
     mega_bucket_min) sub-buckets. Literal count is therefore bounded by the
-    WAVE size (wave_cap ≤ 2^21 by the encode_seq field bound), never by the
+    WAVE size (wave_cap ≤ 2^28 by the encode_seq pop_rank bound), never by the
     bucket size — a 10^10-row tie bucket costs the same plan as a 10^6-row
     one. Exactness never rests on the sample: offsets come from exact counts
     afterwards, and a too-deep cut is detected there and falls back."""

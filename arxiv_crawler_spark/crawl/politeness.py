@@ -124,31 +124,54 @@ def parse_robots(
     )
 
 
-def host_budgets(robots: DataFrame | None, round_seconds: float) -> DataFrame | None:
+def host_budgets(
+    robots: DataFrame | None, round_seconds: float, exceptions_only: bool = False
+) -> DataFrame | None:
     """(host, budget) from the robots table; None → uniform default budget
-    (computed by the caller from DEFAULT_CRAWL_DELAY)."""
+    (computed by the caller from DEFAULT_CRAWL_DELAY).
+
+    ``exceptions_only=True`` keeps only hosts whose budget DIFFERS from the
+    default — the web-scale form: at Common-Crawl scale the robots table is
+    O(10^8) hosts, almost all at the default crawl-delay, and the wave
+    selector's left join + ``coalesce(budget, default)`` makes a
+    default-budget row indistinguishable from an absent one. Shipping only
+    the exceptions turns an O(all hosts) per-round broadcast into an
+    O(non-default hosts) one."""
     if robots is None:
         return None
-    return robots.select(
+    out = robots.select(
         "host",
         F.greatest(
             F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
         ).cast("int").alias("budget"),
     )
+    if exceptions_only:
+        out = out.filter(F.col("budget") != F.lit(default_budget(round_seconds)))
+    return out
 
 
 def default_budget(round_seconds: float) -> int:
     return max(1, math.floor(round_seconds / DEFAULT_CRAWL_DELAY))
 
 
-def split_robots_denied(links: DataFrame, robots: DataFrame | None) -> tuple[DataFrame, DataFrame]:
+def split_robots_denied(
+    links: DataFrame, robots: DataFrame | None, broadcast: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Partition discovered links into (allowed, denied) by robots disallow
-    prefixes. ``links`` must carry (url, host)."""
+    prefixes. ``links`` must carry (url, host).
+
+    Hosts with an empty disallow list are dropped from the join side before
+    shipping — a missing host and an empty-prefix host both mean "allowed",
+    so the table shipped each round is O(hosts that forbid something), not
+    O(all hosts). ``broadcast=False`` falls back to a shuffle join when even
+    that set is too large to broadcast (the caller decides from its size)."""
     if robots is None:
         return links, links.limit(0)
-    r = robots.select("host", "disallow")
+    r = robots.select("host", "disallow").filter(F.size("disallow") > 0)
+    if broadcast:
+        r = F.broadcast(r)
     path = F.regexp_replace(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
-    joined = links.join(F.broadcast(r), "host", "left").withColumn(
+    joined = links.join(r, "host", "left").withColumn(
         "_denied",
         F.when(F.col("disallow").isNull(), F.lit(False)).otherwise(
             F.exists(F.col("disallow"), lambda p: path.startswith(p))

@@ -116,6 +116,12 @@ class CrawlConfig:
     # more than they save, so the filter stays warm but unused
     bloom_min_seen: int = 100_000
     broadcast_wave_max: int = 2_000_000  # broadcast fetch join below this wave size
+    # politeness join sides are broadcast only below this many rows (hosts);
+    # above it the joins fall back to shuffle-on-host, which the budget
+    # windows re-use (co-partitioned). At Common-Crawl scale the robots
+    # table is O(10^8) hosts — only the non-default / non-empty-disallow
+    # EXCEPTIONS ship at all, and even those stop broadcasting past this cap
+    broadcast_hosts_max: int = 500_000
     phase_switch: bool = True  # BFS → citation-greedy at max_papers//2 (crawler.py:243-246)
     # per-host deferral counters cost a full-frontier groupBy per round —
     # exact lineage for tests/audits, off for throughput runs
@@ -180,6 +186,42 @@ class CrawlEngine:
     def _hash(self, col):
         return url_hash(col, self.cfg.hash_algo)
 
+    def _politeness_sizes(self) -> tuple[int, int]:
+        """One-time sizing of the two politeness join sides (robots is
+        static for the crawl's lifetime): (#hosts with a non-default
+        budget, #hosts with a non-empty disallow). One aggregation job,
+        cached — never re-run per round."""
+        if not hasattr(self, "_pol_sizes"):
+            if self.robots is None:
+                self._pol_sizes = (0, 0)
+            else:
+                dflt = pol.default_budget(self.cfg.round_seconds)
+                bgt = F.greatest(
+                    F.lit(1), F.floor(F.lit(self.cfg.round_seconds) / F.col("crawl_delay"))
+                ).cast("int")
+                row = self.robots.select(
+                    F.sum((bgt != dflt).cast("long")).alias("n_exc"),
+                    F.sum((F.size("disallow") > 0).cast("long")).alias("n_dis"),
+                ).collect()[0]
+                self._pol_sizes = (int(row["n_exc"] or 0), int(row["n_dis"] or 0))
+        return self._pol_sizes
+
+    def _budget_side(self) -> tuple[Any, bool]:
+        """Wave-selection budget join side: exceptions-only table + whether
+        it is small enough to broadcast. An empty exception set collapses to
+        (None, True) — every host at the default budget needs no join."""
+        n_exc, _ = self._politeness_sizes()
+        if self.robots is None or n_exc == 0:
+            return None, True
+        exc = pol.host_budgets(self.robots, self.cfg.round_seconds, exceptions_only=True)
+        return exc, n_exc <= self.cfg.broadcast_hosts_max
+
+    def _split_denied(self, links):
+        _, n_dis = self._politeness_sizes()
+        return pol.split_robots_denied(
+            links, self.robots, broadcast=n_dis <= self.cfg.broadcast_hosts_max
+        )
+
     def _phase(self, processed_count: int) -> str:
         """crawler.py:236,243-246: forced BFS first; citation-greedy once
         papers_processed > max_papers // 2 (count survives resume — X5)."""
@@ -203,7 +245,7 @@ class CrawlEngine:
             .withColumn("host", host_of(F.col("url")))
             .withColumn("url_hash", self._hash(F.col("url")))
         )
-        seeds, denied = pol.split_robots_denied(seeds, self.robots)
+        seeds, denied = self._split_denied(seeds)
 
         if self.store.exists():
             m = self.store.manifest()
@@ -295,12 +337,13 @@ class CrawlEngine:
         # 1. wave selection (W1/W2/X6)
         remaining = self.cfg.max_papers - processed_count
         wave_cap = min(self.cfg.wave_size, remaining)
-        budgets = pol.host_budgets(self.robots, self.cfg.round_seconds)
+        budgets, budgets_bcast = self._budget_side()
         wave = select_wave(
             frontier,
             phase,
             wave_cap=wave_cap,
             host_budgets=budgets,
+            broadcast_budgets=budgets_bcast,
             default_budget=pol.default_budget(self.cfg.round_seconds),
             salt_factor=self.cfg.salt_factor,
             frontier_size=m["frontier_size"] if m["frontier_size"] > 0 else None,
@@ -392,7 +435,7 @@ class CrawlEngine:
             .withColumn("url_hash", self._hash(F.col("url")))
             .select("url_hash", "url", "host", "pop_rank", "bib_index", "citing_depth")
         )
-        links_ok, links_denied = pol.split_robots_denied(links, self.robots)
+        links_ok, links_denied = self._split_denied(links)
 
         # 6. seen-set dedupe (J1): Bloom pre-filter, then exact anti-join.
         # The bloom lives as per-bucket shard files probed executor-side

@@ -3,10 +3,13 @@
 Re-states the reference extractor's semantics
 (``CitationExtractor.process_paper``, /root/reference/arxiv_crawler/src/
 arxiv_crawler/arxiv_util.py:187-271, plus helpers :107-185) on stdlib
-``xml.etree.ElementTree`` (lxml is not available in this environment; the
-fixtures emit well-formed XML so the recover-mode parser of
-arxiv_util.py:206 is not needed — malformed input is caught and routed to
-the failure path instead, mirroring crawler.py:181-186).
+``xml.etree.ElementTree`` (lxml is not available in this environment).
+Recover-mode parity (arxiv_util.py:206 ``XMLParser(recover=True)``) comes
+from :func:`recover_xml` — a tolerant tokenizer that repairs malformed
+documents the way libxml2-recover does (implicit closes, stray-tag drops,
+EOF closes) so recoverable Grobid output extracts instead of becoming a
+failed pop; only true garbage stays on the failure path
+(crawler.py:181-186).
 
 Semantics preserved exactly (each tested):
 * bibliography walk in document order over ``//listBibl/biblStruct``
@@ -135,10 +138,168 @@ def parse_tei(xml_bytes: bytes) -> ET.Element:
     """One shared parse of a stored TEI document (gzip-transparent,
     crawler.py:123-128). The XML parse dominates extraction cost at ~30-40 KB
     per doc, so the batch UDF parses ONCE and feeds the same root to both the
-    citation and the metadata extractors."""
+    citation and the metadata extractors.
+
+    Parity with the reference's recover-mode parser
+    (``etree.XMLParser(recover=True)``, arxiv_util.py:206, asserted by its
+    own test_citation_extractor.py:223-261): malformed-but-recoverable
+    documents are repaired by :func:`recover_xml` and extracted instead of
+    being routed to the failure path. The strict stdlib parse stays the hot
+    path — recovery only runs after an ``ET.ParseError``, so well-formed
+    Grobid output (the overwhelming majority) pays nothing."""
     if xml_bytes[:2] == b"\x1f\x8b":  # gzip magic — stored form
         xml_bytes = gzip.decompress(xml_bytes)
-    return ET.fromstring(xml_bytes)
+    try:
+        return ET.fromstring(xml_bytes)
+    except ET.ParseError:
+        return ET.fromstring(recover_xml(xml_bytes))
+
+
+# --------------------------------------------------------- recovery parser
+#
+# libxml2-recover semantics, re-stated on a regex tokenizer (no lxml in this
+# environment). Mirrored behaviors (each covered in tests/test_extraction.py
+# against a hand-repaired well-formed twin — the tree lxml recover=True
+# produces for that input):
+#   * unclosed element closed implicitly when an ancestor's end tag arrives
+#     (the reference's own malformed fixture: <p> missing its </p>)
+#   * stray end tags with no matching open element are dropped
+#   * still-open elements are closed at end of input
+#   * content after the first root element closes is ignored
+#   * undefined entity references are dropped; bare '&' and stray '<' that
+#     start no tag are dropped (libxml2 skips the offending token)
+#   * unquoted / bare attributes are normalized (name=v → name="v")
+#   * comments / PIs / doctype are elided (ElementTree skips them anyway —
+#     they carry no itertext() content)
+
+_RE_TOKEN = re.compile(
+    r"<!\[CDATA\[.*?\]\]>"  # CDATA (kept verbatim)
+    r"|<!--.*?-->"  # comment
+    r"|<![^>]*>"  # doctype / markup decl
+    r"|<\?.*?\?>"  # PI / xml decl
+    r"|</\s*([A-Za-z_][\w.:-]*)\s*>"  # end tag
+    r"|<\s*([A-Za-z_][\w.:-]*)((?:[^<>\"']|\"[^\"]*\"|'[^']*')*?)(/?)\s*>",  # start tag
+    re.DOTALL,
+)
+_RE_ATTR = re.compile(
+    r"([A-Za-z_][\w.:-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'<>`]+))?"
+)
+_RE_ENTITY = re.compile(r"&(?:amp|lt|gt|apos|quot|#\d{1,7}|#x[0-9a-fA-F]{1,6});")
+
+
+def _esc_text(s: str) -> str:
+    """Sanitize character data: keep defined entity refs, drop undefined
+    refs / bare '&' / stray '<' (libxml2-recover drops the offending token),
+    escape '>' is unnecessary (valid in content)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "&":
+            m = _RE_ENTITY.match(s, i)
+            if m:
+                out.append(m.group(0))
+                i = m.end()
+            else:
+                i += 1  # undefined entity / bare & — dropped
+                m2 = re.match(r"[A-Za-z#][\w#]*;", s[i:])
+                if m2:
+                    i += m2.end()
+        elif ch == "<":
+            i += 1  # stray '<' that opened no tag — dropped
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _esc_attr(s: str) -> str:
+    """Escape an attribute value, preserving already-valid entity refs
+    (a raw value like ``a &amp; b`` must not double-escape)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "&":
+            m = _RE_ENTITY.match(s, i)
+            if m:
+                out.append(m.group(0))
+                i = m.end()
+            else:
+                out.append("&amp;")
+                i += 1
+        elif ch == "<":
+            out.append("&lt;")
+            i += 1
+        elif ch == '"':
+            out.append("&quot;")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def recover_xml(xml_bytes: bytes) -> str:
+    """Repair malformed XML into a well-formed document string (the
+    recover-mode shim behind :func:`parse_tei`). Raises ``ET.ParseError``
+    when no root element can be found at all (true garbage stays on the
+    failure path, crawler.py:181-186)."""
+    text = xml_bytes.decode("utf-8", errors="replace") if isinstance(xml_bytes, bytes) else xml_bytes
+    out: list[str] = []
+    stack: list[str] = []
+    root_done = False
+    saw_root = False
+    pos = 0
+    for m in _RE_TOKEN.finditer(text):
+        if root_done:
+            break
+        between = text[pos:m.start()]
+        pos = m.end()
+        if stack:
+            out.append(_esc_text(between))
+        tok = m.group(0)
+        end_name, start_name, attrs_raw, selfclose = m.group(1), m.group(2), m.group(3), m.group(4)
+        if start_name is not None:
+            if root_done:
+                break
+            parts = [start_name]
+            for am in _RE_ATTR.finditer(attrs_raw or ""):
+                name, val = am.group(1), am.group(2)
+                if val is None:
+                    val = ""
+                elif val[:1] in "\"'" and val[:1] == val[-1:]:
+                    val = val[1:-1]
+                parts.append(f'{name}="{_esc_attr(val)}"')
+            if not stack and saw_root:
+                continue  # second root element — first root wins
+            saw_root = True
+            if selfclose:
+                out.append(f"<{' '.join(parts)}/>")
+            else:
+                out.append(f"<{' '.join(parts)}>")
+                stack.append(start_name)
+        elif end_name is not None:
+            if end_name in stack:
+                while stack:  # implicit close of unclosed descendants
+                    top = stack.pop()
+                    out.append(f"</{top}>")
+                    if top == end_name:
+                        break
+                if not stack:
+                    root_done = True
+            # else: stray end tag — dropped
+        elif tok.startswith("<![CDATA["):
+            if stack:
+                out.append(tok)
+        # comments / PIs / doctype — elided
+    if stack and pos < len(text):  # tail character data before EOF
+        out.append(_esc_text(text[pos:]))
+    while stack:  # close everything still open at end of input
+        out.append(f"</{stack.pop()}>")
+    if not saw_root:
+        raise ET.ParseError("recovery found no root element")
+    return "".join(out)
 
 
 def extract_citations(xml_bytes: bytes) -> dict[str, dict[str, Any]]:

@@ -304,7 +304,16 @@ def lsh_near_pairs(
             .drop("_bsz")
         )
     l, r = b.alias("l"), b.alias("r")
-    cand = (
+    # Score INSIDE the bucket join (both vectors are already co-located in
+    # the joined row — the cosine costs no extra shuffle), drop the vectors,
+    # THEN dedupe the multi-table collisions. The dedupe is the only wide
+    # exchange after the bucket join, and it carries (id_a, id_b, cos) —
+    # 24 bytes — not two 64-float payloads; at 100-TB corpus scale the
+    # vector payload would dominate that shuffle. cos is a deterministic
+    # function of the pair, so deduping after scoring keeps one identical
+    # row per pair; filtering cos < threshold *before* the dedupe shrinks
+    # the exchange further without changing the result.
+    return (
         l.join(
             r,
             (F.col("l.table") == F.col("r.table"))
@@ -314,14 +323,10 @@ def lsh_near_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("_cos"),
         )
-        # a pair can collide in several tables — score each pair once
+        .filter(F.col("_cos") >= threshold)  # unrounded, same convention as q39
+        # a pair can collide in several tables — keep each pair once
         .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cos"))
     )

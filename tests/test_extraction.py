@@ -123,3 +123,121 @@ def test_extract_pages_passthrough(spark):
         assert g["ok"] is True and g["num_citations"] > 0
     assert got["u-bad"]["ok"] is False and got["u-null"]["ok"] is False
     assert got["u-bad"]["extracted_text"] is None
+
+
+# ----------------------------------------------------------- XML recovery
+#
+# Recover-mode parity (arxiv_util.py:206 `etree.XMLParser(recover=True)`;
+# the reference's own malformed-XML test, test_citation_extractor.py:223-261):
+# each malformed document must extract BYTE-IDENTICALLY to its hand-repaired
+# well-formed twin — the tree libxml2-recover produces for that input —
+# instead of landing on the failure path.
+
+_REFERENCE_MALFORMED = b"""<?xml version="1.0" encoding="UTF-8"?>
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+    <text>
+        <body>
+            <div>
+                <!-- Missing closing tag will be recovered -->
+                <p>Some text
+            </div>
+        </body>
+    </text>
+</TEI>"""
+
+
+def test_reference_malformed_case_recovers():
+    """The exact fixture of test_citation_extractor.py:240-253: partial
+    results (empty dict — no listBibl), not an exception."""
+    cits = extract_citations(_REFERENCE_MALFORMED)
+    assert isinstance(cits, dict) and cits == {}
+
+
+def _tei(body: str, bibs: str) -> bytes:
+    return (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader/><text><body>'
+        f"{body}</body><back><div><listBibl>{bibs}</listBibl></div></back>"
+        "</text></TEI>"
+    ).encode()
+
+
+_BIBS = (
+    '<biblStruct xml:id="b0"><analytic><title level="a">T0</title>'
+    "<author><persName><forename>A</forename><surname>B</surname></persName></author>"
+    '<idno type="arXiv">arXiv:2101.00001</idno></analytic>'
+    '<monogr><title>Venue Zero</title><imprint><date type="published" when="2021"/>'
+    "</imprint></monogr></biblStruct>"
+    '<biblStruct xml:id="b1"><analytic><title level="a">T1</title></analytic>'
+    "<monogr><title>Venue One</title></monogr></biblStruct>"
+)
+_BODY = (
+    '<div><p><s>First sentence cites <ref type="bibr" target="#b0">[0]</ref>.</s>'
+    '<s>Second cites <ref type="bibr" target="#b1">[1]</ref>.</s></p></div>'
+)
+
+
+@pytest.mark.parametrize(
+    "malformed,repaired_twin",
+    [
+        # missing </p>: implicit close at </div> — twin is the explicit form
+        (
+            _tei('<div><p><s>Cites <ref type="bibr" target="#b0">[0]</ref>.</s></div>', _BIBS),
+            _tei('<div><p><s>Cites <ref type="bibr" target="#b0">[0]</ref>.</s></p></div>', _BIBS),
+        ),
+        # stray end tag dropped
+        (
+            _tei(_BODY + "</span>", _BIBS),
+            _tei(_BODY, _BIBS),
+        ),
+        # truncated mid-write (Grobid died): trailing end tags lost —
+        # recovery closes all open elements, tree identical to the original
+        (
+            _tei(_BODY, _BIBS)[: -len(b"</listBibl></div></back></text></TEI>")],
+            _tei(_BODY, _BIBS),
+        ),
+        # undefined entity dropped; defined ones kept
+        (
+            _tei(_BODY.replace("First sentence", "First &nbsp;s&amp;ntence"), _BIBS),
+            _tei(_BODY.replace("First sentence", "First s&amp;ntence"), _BIBS),
+        ),
+        # unquoted attribute normalized
+        (
+            _tei(_BODY, _BIBS.replace('xml:id="b1"', "xml:id=b1")),
+            _tei(_BODY, _BIBS),
+        ),
+        # junk after the first root element ignored
+        (
+            _tei(_BODY, _BIBS) + b"<oops>trailing</oops> junk",
+            _tei(_BODY, _BIBS),
+        ),
+    ],
+    ids=["missing_close", "stray_close", "truncated", "bad_entity", "unquoted_attr", "trailing_junk"],
+)
+def test_recovery_matches_repaired_twin(malformed, repaired_twin):
+    got = canonical_extraction_json(extract_citations(malformed))
+    want = canonical_extraction_json(extract_citations(repaired_twin))
+    assert got == want
+    assert json.loads(got)  # sanity: the bibliography actually survived
+
+
+def test_recovered_rows_flow_through_engine_ok(spark):
+    """End-to-end: a malformed-but-recoverable page is an ok=True extraction
+    in the mapInPandas engine path (it previously became a failed pop —
+    changing the crawl frontier vs the reference)."""
+    import pandas as pd
+
+    from arxiv_crawler_spark.fixtures import BASE_TS
+
+    mal = _tei(_BODY.replace("</p>", ""), _BIBS)  # strip every </p>
+    pdf = pd.DataFrame(
+        [
+            {"url": "https://arxiv.org/abs/2101.99999", "warc_ts": BASE_TS,
+             "html": mal, "text": "", "lang": "en"},
+            {"url": "https://x.example/bad", "warc_ts": BASE_TS,
+             "html": b"\x00notxml", "text": "", "lang": "en"},
+        ]
+    )
+    out = {r["url"]: r for r in extract_pages(spark_pages(spark, pdf)).collect()}
+    good = out["https://arxiv.org/abs/2101.99999"]
+    assert good["ok"] is True and good["num_citations"] == 2
+    assert out["https://x.example/bad"]["ok"] is False  # true garbage still fails

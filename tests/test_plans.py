@@ -78,3 +78,30 @@ def test_no_row_python_in_oracle_queries(spark, sf_dir, name):
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_lsh_near_pairs_dedup_shuffle_carries_no_vectors(spark, sf_dir):
+    """The multi-table pair dedupe must exchange (id_a, id_b, cos) only —
+    shuffling the two 64-float embedding payloads through the dedup would
+    dominate the stage at 100-TB corpus scale. The vectors may appear only
+    below the bucket join (where they are scored), never in an Exchange at
+    or above the deduplicating aggregate."""
+    from arxiv_crawler_spark.operators.knn import lsh_near_pairs
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    df = lsh_near_pairs(emb, threshold=0.35, n_planes=3, n_tables=6)
+    p = plan_of(df, "formatted")
+    # formatted mode lists each node's Output columns: the pair-dedup
+    # exchange (keyed on id_a/id_b) must output scalars only — no array
+    # payload. The (table, bucket) exchanges BELOW the join rightly carry
+    # the vectors (that is where scoring happens).
+    blocks = p.split("\n\n")
+    dedup_exchanges = [
+        b for b in blocks
+        if b.lstrip().startswith("(") and "Exchange" in b.splitlines()[0]
+        and "hashpartitioning(id_a" in b
+    ]
+    assert dedup_exchanges, "pair-dedup exchange not found in plan:\n" + p
+    for b in dedup_exchanges:
+        in_line = next(ln for ln in b.splitlines() if ln.startswith("Input"))
+        assert "v#" not in in_line and "embedding" not in in_line, b

@@ -426,3 +426,40 @@ def test_wave_paths_randomized_parity(spark):
                     ).collect()
                 )
                 assert fancy == simple, (seed, phase, ph is not None, mega)
+
+
+def test_wave_cap_beyond_2_21(spark):
+    """10M+-URL waves are the production shape (BENCH/BASELINE.md §d): the
+    encode_seq pop_rank field is 28 bits, so a wave_cap past the old 2^21
+    ceiling must select an exact dense rank and encode every pop_rank
+    without overflow. Exercises the histogram-free large-wave path
+    (prefilter + bucketed rank) at 9.6M frontier rows / 2.2M wave."""
+    from pyspark.sql import functions as F
+
+    from arxiv_crawler_spark.crawl.frontier import encode_seq
+
+    n, cap = 9_600_000, 2_200_000
+    assert cap > (1 << 21)
+    frontier = spark.range(n).select(
+        F.col("id").alias("url_hash"),
+        F.concat(F.lit("https://h.x/"), F.col("id")).alias("url"),
+        F.lit("h.x").alias("host"),
+        (F.col("id") % 1000).alias("count"),
+        (F.col("id") % 4).cast("int").alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    )
+    wave = select_wave(
+        frontier, "citations", wave_cap=cap, default_budget=cap, salt_factor=4,
+        frontier_size=n,
+    )
+    agg = wave.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("pop_rank").alias("dr"),
+        F.max("pop_rank").alias("mx"),
+        F.min("pop_rank").alias("mn"),
+        F.max(encode_seq(1, F.col("pop_rank"), 0)).alias("max_seq"),
+    ).collect()[0]
+    assert agg["n"] == cap and agg["dr"] == cap  # exact dense rank
+    assert agg["mn"] == 1 and agg["mx"] == cap
+    # encoded seq stayed inside the 62-bit layout (no overflow into sign)
+    assert agg["max_seq"] == (1 << 42) + (cap << 14)
