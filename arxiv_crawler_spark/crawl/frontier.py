@@ -16,20 +16,26 @@ the *first* maximal item, crawler.py:195-205). Insertion order is exactly
 discovery" — so instead of maintaining a dense counter (which would need a
 global window per round), we *encode* that triple into one int64::
 
-    seq = (round << 42) | (pop_rank << 14) | bib_index
+    discovery: seq = (round << 42) | (1 << 41) | (pop_rank << 14) | bib_index
+    seed:      seq = (round << 42) | seed_idx
 
-Order-isomorphic to insertion order, collision-free (pop_rank < 2^28,
-bib_index < 2^14, round < 2^20 — bounds asserted), and assigned with pure
-column arithmetic: no window, no ``monotonically_increasing_id`` (whose
-values are partition-dependent and would break replay determinism,
-SURVEY.md §4).
+Order-isomorphic to insertion order, collision-free (pop_rank < 2^27,
+bib_index < 2^14, seed_idx < 2^41, round < 2^20 — bounds asserted), and
+assigned with pure column arithmetic: no window, no
+``monotonically_increasing_id`` (whose values are partition-dependent and
+would break replay determinism, SURVEY.md §4).
 
 Field sizing is driven by the deployment shape, not symmetry: a
 1000-executor crawl schedules 10M+-URL waves (BENCH/BASELINE.md §d), so
-pop_rank gets 28 bits (268M-URL waves); bib_index counts bibliography
+pop_rank gets 27 bits (134M-URL waves); bib_index counts bibliography
 entries in ONE paper — the reference's worlds run ~36 (crawler fixture) and
 even pathological survey papers stay well under 2^14 = 16384, and the
-overflow guard raises rather than wrapping if one ever exceeds it.
+overflow guard raises rather than wrapping if one ever exceeds it. Seeds
+never come from a pop, so they have no (rank, bib) split — bit 41
+distinguishes the two forms and keeps every seed of a round ahead of every
+discovery of the same round (reference: a re-seed resets depth on queued
+entries but new seeds enqueue with the merge, before that round's
+discoveries are appended — crawler.py:215-226).
 """
 
 from __future__ import annotations
@@ -49,9 +55,11 @@ __all__ = [
 
 _SEQ_ROUND_SHIFT = 42
 _SEQ_RANK_SHIFT = 14
-_SEQ_RANK_MAX = (1 << 28) - 1
+_SEQ_DISC_FLAG = 1 << 41  # discovery marker: sorts after every seed of the round
+_SEQ_RANK_MAX = (1 << 27) - 1
 _SEQ_BIB_MAX = (1 << 14) - 1
 _SEQ_ROUND_MAX = (1 << 20) - 1
+_SEQ_SEED_MAX = (1 << 41) - 1  # seeds: no (rank, bib) split, idx spans the low field
 
 
 def priority_order(phase: str) -> list[Column]:
@@ -86,6 +94,7 @@ def encode_seq(round_no: Column | int, pop_rank: Column | int, bib_index: Column
     b = F.lit(bib_index) if isinstance(bib_index, int) else bib_index
     seq = (
         F.shiftleft(r.cast("long"), _SEQ_ROUND_SHIFT)
+        + F.lit(_SEQ_DISC_FLAG)
         + F.shiftleft(p.cast("long"), _SEQ_RANK_SHIFT)
         + b.cast("long")
     )
@@ -102,9 +111,27 @@ def encode_seq(round_no: Column | int, pop_rank: Column | int, bib_index: Column
         cond = checks[0]
         for c in checks[1:]:
             cond = cond & c
-        guard = F.assert_true(cond, F.lit("encode_seq field overflow (>2^28-1 rank, >2^14-1 bib, or >2^20-1 round)"))
+        guard = F.assert_true(cond, F.lit("encode_seq field overflow (>2^27-1 rank, >2^14-1 bib, or >2^20-1 round)"))
         seq = F.coalesce(guard.cast("long"), seq)
     return seq
+
+
+def encode_seed_seq(round_no: int, seed_idx: Column) -> Column:
+    """Queue position for a seed enqueued at ``round_no``. Seeds all carry
+    pop_rank 0 (they are not discovered by any pop), so seed_idx may use the
+    WHOLE 42-bit low field — the per-field split exists to interleave
+    (pop_rank, bib_index) of real discoveries, which seeds never have. Seed
+    lists up to 2.2·10^12 entries stay encodable (the old layout packed
+    seed_idx into the bib field, capping seed lists at that field's width)."""
+    if not (0 <= round_no <= _SEQ_ROUND_MAX):
+        raise ValueError(f"encode_seed_seq: round {round_no} out of [0, {_SEQ_ROUND_MAX}]")
+    s = seed_idx.cast("long")
+    guard = F.assert_true(
+        (s >= 0) & (s <= _SEQ_SEED_MAX), F.lit("encode_seed_seq seed_idx overflow (>2^41-1)")
+    )
+    return F.coalesce(
+        guard.cast("long"), F.shiftleft(F.lit(round_no).cast("long"), _SEQ_ROUND_SHIFT) + s
+    )
 
 
 def merge_seeds(frontier: DataFrame, seen: DataFrame, seeds: DataFrame, round_no: int) -> DataFrame:
@@ -134,7 +161,7 @@ def merge_seeds(frontier: DataFrame, seen: DataFrame, seeds: DataFrame, round_no
         .cast("int")
         .alias("depth"),
         F.coalesce(
-            F.col("f.discovery_seq"), encode_seq(round_no, 0, F.col("s.seed_idx"))
+            F.col("f.discovery_seq"), encode_seed_seq(round_no, F.col("s.seed_idx"))
         ).alias("discovery_seq"),
     )
 
@@ -441,7 +468,7 @@ def _bucketed_rank(
         return ranked, acc
 
     # For each mega bucket: drop the bucket's tail past the sampled cut pair
-    # (only the top `need ≤ wave_cap ≤ 2^28` rows can reach the wave, so the
+    # (only the top `need ≤ wave_cap ≤ 2^27` rows can reach the wave, so the
     # number of literals is bounded by WAVE size, never bucket size), then
     # sub-bucket survivors by the boundary pairs — the number of literal
     # (key, seq) pairs lexicographically below the row.
@@ -521,7 +548,7 @@ def _mega_sub_bounds(
     tail (arbitrarily large) is filtered before any window — and **boundary**
     pairs that split the ≲ slack·need survivors into ≤ ceil(slack·need /
     mega_bucket_min) sub-buckets. Literal count is therefore bounded by the
-    WAVE size (wave_cap ≤ 2^28 by the encode_seq pop_rank bound), never by the
+    WAVE size (wave_cap ≤ 2^27 by the encode_seq pop_rank bound), never by the
     bucket size — a 10^10-row tie bucket costs the same plan as a 10^6-row
     one. Exactness never rests on the sample: offsets come from exact counts
     afterwards, and a too-deep cut is detected there and falls back."""

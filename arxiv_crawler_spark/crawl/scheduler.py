@@ -130,6 +130,11 @@ class CrawlConfig:
     # jobs per round; with it off the frontier is fully rewritten each
     # round and sizes are reported as -1 (throughput mode)
     exact_lineage: bool = True
+    # snapshot-store backend: 'parquet' (manifest store, sandbox default) |
+    # 'iceberg' (native tables via crawl/iceberg_store.py — requires a
+    # configured Spark Iceberg catalog; raises at engine init if absent)
+    store_backend: str = "parquet"
+    iceberg_catalog: str = "iceberg"
     # expire unreferenced COW snapshots/units every N rounds (0 = never):
     # a long crawl self-maintains its store (Iceberg expire_snapshots +
     # remove_orphan_files analog, store.gc) — driver-side file ops only,
@@ -170,12 +175,24 @@ class CrawlEngine:
         ids to their hosts (see fixtures.multihost_resolver)."""
         self.spark = spark
         self.cfg = config or CrawlConfig()
-        self.store = SnapshotStore(
-            store_path,
-            spark,
-            n_buckets=self.cfg.n_buckets,
-            bloom_bits_per_shard=self.cfg.bloom_bits_per_shard,
-        )
+        if self.cfg.store_backend == "parquet":
+            self.store = SnapshotStore(
+                store_path,
+                spark,
+                n_buckets=self.cfg.n_buckets,
+                bloom_bits_per_shard=self.cfg.bloom_bits_per_shard,
+            )
+        else:
+            from arxiv_crawler_spark.crawl.iceberg_store import make_store
+
+            self.store = make_store(
+                spark,
+                store_path,
+                backend=self.cfg.store_backend,
+                n_buckets=self.cfg.n_buckets,
+                catalog=self.cfg.iceberg_catalog,
+                bloom_bits_per_shard=self.cfg.bloom_bits_per_shard,
+            )
         self.pages = pages
         self.robots = robots
         self.link_resolver = link_resolver or arxiv_id_to_url

@@ -563,6 +563,79 @@ select id, {fold('a', 'sim_hi')}, {fold('b', 'sim_lo')} from votes
 """
 
 
+
+
+def _sql_x54() -> str:
+    """Brute-force Hamming pairs over the q26 simhash — exactly the banded
+    operator's output (pigeonhole: max_dist+1 bands → 100% candidate
+    recall, then the exact dist filter)."""
+    return f"""
+with sims as ({_sql_q26()})
+select a.id as id_a, b.id as id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT as dist
+from sims a join sims b on a.id < b.id
+where bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+def _sql_x60() -> str:
+    return f"""
+with sims as ({_sql_q45()})
+select a.id as id_a, b.id as id_b,
+       (bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)))::BIGINT as dist
+from sims a join sims b on a.id < b.id
+where bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 7
+"""
+
+
+def _sql_x55() -> str:
+    """The LSH candidate generation re-stated in SQL with the SAME plane
+    literals the Spark plan bakes in (operators/knn.py::_hyperplanes,
+    RandomState(42 + 1009*t)): per-table sign-bit buckets, bucket-equality
+    candidates, then q39's exact cosine on the candidate pairs. Sign tests
+    and cosines are double-precision identical to the Spark fold (q27/q39
+    established the list_sum ≡ aggregate-fold bridge), so the oracle
+    reproduces the engine output exactly — including any LSH misses."""
+    import numpy as np
+
+    dot_q = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform({v}.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    )
+    cos = f"{dot_q} / ({norm.format(v='a')} * {norm.format(v='b')})"
+    tables = []
+    for t in range(6):
+        planes = np.random.RandomState(42 + 1009 * t).randn(3, 64).astype(float)
+        bits = []
+        for i, pl in enumerate(planes):
+            lst = "[" + ", ".join(repr(float(x)) for x in pl) + "]::DOUBLE[]"
+            bits.append(
+                f"(case when list_sum(list_transform(generate_series(1, 64), "
+                f"i -> embedding[i]::DOUBLE * ({lst})[i])) > 0 then {1 << i} else 0 end)"
+            )
+        tables.append(
+            f"select vec_id as id, {t} as tbl, ({' + '.join(bits)}) as bucket from e"
+        )
+    union = "\nunion all\n".join(tables)
+    return f"""
+with e as (select vec_id, embedding from embeddings where vec_id < 150),
+b as ({union}),
+cand as (
+  select distinct l.id as id_a, r.id as id_b
+  from b l join b r on l.tbl = r.tbl and l.bucket = r.bucket and l.id < r.id)
+select c.id_a, c.id_b, round({cos}, 6) as cos
+from cand c
+join e a on a.vec_id = c.id_a
+join e b on b.vec_id = c.id_b
+where {cos} >= 0.35
+"""
+
+
+
+
 def q27_knn_cosine(spark, sf):  # W6 similarity-search
     emb = load(spark, sf, "embeddings")
     out = KNN.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
@@ -1272,16 +1345,23 @@ def x53_media_features(spark, sf):
 
 
 def x54_simhash_near_pairs(spark, sf):
+    """32-bit SimHash near-pairs. Banding is max_dist+1 segments →
+    pigeonhole-exact candidates, so the output is EXACTLY the brute-force
+    Hamming pair set — DuckDB-oracle-checkable (bit_count(xor)) despite the
+    bucketed physical plan."""
     d = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return DD.simhash_near_pairs(d, max_dist=8)
+    out = DD.simhash_near_pairs(d, max_dist=8)
+    return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
 def x60_simhash64_near_pairs(spark, sf):
     """64-bit SimHash near-pairs (8-bit bands at max_dist=7 — the selective
     banding a web-scale corpus needs; 100%-recall pigeonhole guarantee
-    asserted against brute force in tests/test_operators.py)."""
+    asserted against brute force in tests/test_operators.py, and the same
+    guarantee makes the output brute-force-equal → DuckDB-oracle-checked)."""
     d = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return DD.simhash64_near_pairs(d, max_dist=7)
+    out = DD.simhash64_near_pairs(d, max_dist=7)
+    return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
 
@@ -1582,5 +1662,8 @@ ORACLE_SQL = {
     "q43_seed_mining": _SQL_Q43,
     "q44_paginate_cited_by": _SQL_Q44,
     "q46_metadata_search": _SQL_Q46,
+    "x54_simhash_near_pairs": _sql_x54(),
+    "x60_simhash64_near_pairs": _sql_x60(),
+    "x55_embedding_near_pairs_lsh": _sql_x55(),
     "q47_cited_by_contexts": _SQL_Q47,
 }

@@ -31,7 +31,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def synth_pages(spark: SparkSession, n_docs: int, n_bib: int = 36, n_refs: int = 24):
+def synth_pages(
+    spark: SparkSession, n_docs: int, n_bib: int = 36, n_refs: int = 24,
+    multihost: bool = False,
+):
     """Distributed synthetic TEI world, realistically sized (~25-40 KB TEI,
     dozens of bibliography entries and in-text references — what Grobid
     emits for a normal paper). Doc i cites (i*7+k) % n for k=1..8 via
@@ -94,29 +97,53 @@ def synth_pages(spark: SparkSession, n_docs: int, n_bib: int = 36, n_refs: int =
         *bibs,
         F.lit("</listBibl></div></back></text></TEI>"),
     )
+    if multihost:
+        # Common-Crawl-shaped world: ids resolve across mirror hosts (the
+        # same routing the engine's link_resolver uses, so discovered links
+        # land on the page URLs)
+        from arxiv_crawler_spark.fixtures import multihost_resolver
+
+        url = multihost_resolver(aid)
+    else:
+        url = F.concat(F.lit("https://arxiv.org/abs/"), aid)
     return (
         spark.range(n_docs).select(F.col("id").alias("i"))
         .withColumn("n", F.lit(n_docs))
-        .select(
-            F.concat(F.lit("https://arxiv.org/abs/"), aid).alias("url"),
-            html.cast("binary").alias("html"),
-        )
+        .select(url.alias("url"), html.cast("binary").alias("html"))
     )
 
 
-def bench_crawl(spark: SparkSession, n_docs: int) -> dict:
-    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
-    from arxiv_crawler_spark.fixtures import arxiv_id_of
-
+def build_world(spark: SparkSession, n_docs: int):
     pages = synth_pages(spark, n_docs)
     pages = pages.repartition(4 * spark.sparkContext.defaultParallelism)
     if n_docs <= 400_000:  # cache moderate worlds; bigger ones stay virtual
         pages = pages.cache()
     pages.count()  # materialize / codegen-warm the world outside the timed section
+    return pages
+
+
+def bench_crawl(
+    spark: SparkSession,
+    n_docs: int,
+    pages=None,
+    wave: int | None = None,
+    n_rounds: int | None = None,
+    warmup: int | None = None,
+) -> dict:
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import arxiv_id_of
+
+    own_world = pages is None
+    if own_world:
+        pages = build_world(spark, n_docs)
 
     # default wave sized so warmup (2) + timed (3) rounds fit in n_docs pops
-    wave = int(os.environ.get("BENCH_WAVE", str(max(n_docs // 6, 250))))
-    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    if wave is None:
+        wave = int(os.environ.get("BENCH_WAVE", str(max(n_docs // 6, 250))))
+    if n_rounds is None:
+        n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    if warmup is None:
+        warmup = int(os.environ.get("BENCH_WARMUP", "2"))
     cfg = CrawlConfig(
         mode="wave",
         max_papers=n_docs,
@@ -134,7 +161,7 @@ def bench_crawl(spark: SparkSession, n_docs: int) -> dict:
     # warm-up rounds excluded from timing: JIT C2 compilation + python-worker
     # spin-up take 2+ rounds to settle, and noticeably longer under
     # spark-submit --py-files (workers import the engine from the zip)
-    for _ in range(int(os.environ.get("BENCH_WARMUP", "2"))):
+    for _ in range(warmup):
         eng.run_round()
     pops0 = eng.store.manifest()["total_pops"]
     t0 = time.monotonic()
@@ -144,8 +171,10 @@ def bench_crawl(spark: SparkSession, n_docs: int) -> dict:
     m = eng.store.manifest()
     pops = m["total_pops"] - pops0
     links = sum(r.lineage.get("links", 0) for r in results)
-    pages.unpersist()
+    if own_world:
+        pages.unpersist()
     return {
+        "wave": wave,
         "urls_scheduled_fetched": pops,
         "links_discovered": links,
         "rounds": len(results),
@@ -193,22 +222,56 @@ def main() -> None:
     spark = get_spark(app_name="arxiv-crawler-spark-bench", master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # world sized so 2 warmup + 3 timed rounds of n_docs//6 waves fit the
-    # pop budget (max_papers = n_docs)
+    # Two crawl configurations (VERDICT r3 §What's-wrong-4: the small-wave
+    # default is dominated by the fixed per-round driver floor and
+    # mis-measures the engine; the production-representative wave is the
+    # headline):
+    #   small      — 1.2M·sf world, n_docs//6 waves (~20k at sf0.1): the
+    #                historical config, kept for cross-round continuity
+    #   production — 3M·sf world, 75k-at-sf0.1 waves where per-URL work
+    #                dominates the fixed floor; MEDIAN of ≥3 timed crawls
+    #                (host noise swings single runs ±30%+)
     n_docs = int(os.environ.get("BENCH_CRAWL_DOCS", str(max(int(1_200_000 * sf), 4000))))
-    crawl = bench_crawl(spark, n_docs)
+    crawl_small = bench_crawl(spark, n_docs)
+
+    # BENCH_MODE=single: one crawl at the BENCH_WAVE/BENCH_CRAWL_DOCS config
+    # only — the scaling protocol (scripts/scaling_bench.py) compares ONE
+    # identical configuration across parallelism levels
+    if os.environ.get("BENCH_MODE", "full") == "single":
+        runs = [crawl_small]
+        prod_runs = 1
+    else:
+        prod_docs = int(os.environ.get("BENCH_PROD_DOCS", str(max(int(3_000_000 * sf), 4000))))
+        prod_wave = int(os.environ.get("BENCH_PROD_WAVE", str(max(prod_docs // 4, 1000))))
+        prod_runs = int(os.environ.get("BENCH_PROD_RUNS", "3"))
+        world = build_world(spark, prod_docs)
+        runs = []
+        for i in range(prod_runs):
+            # JVM/JIT are warm after the first run — 1 warmup round suffices
+            runs.append(
+                bench_crawl(
+                    spark, prod_docs, pages=world, wave=prod_wave, n_rounds=2,
+                    warmup=2 if i == 0 else 1,
+                )
+            )
+        world.unpersist()
+    rates = sorted(r["urls_per_sec"] for r in runs)
+    crawl = next(r for r in runs if r["urls_per_sec"] == rates[len(rates) // 2])
     queries = bench_queries(spark, sf_dir)
 
     print(
         json.dumps(
             {
                 "metric": "urls_scheduled_fetched_per_sec (wave-mode crawl rounds: "
-                "schedule+fetch+extract+dedupe+merge+commit)",
-                "value": crawl["urls_per_sec"],
+                "schedule+fetch+extract+dedupe+merge+commit; production wave size, "
+                f"median of {prod_runs} crawls)",
+                "value": rates[len(rates) // 2],
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
                 "crawl": crawl,
+                "crawl_runs_urls_per_sec": rates,
+                "crawl_small_wave": crawl_small,
                 "master": spark.sparkContext.master,
                 "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             }

@@ -30,6 +30,7 @@ def run_level(cores: int, docs: int, sf_dir: str, wave: int, rounds: int) -> dic
             "BENCH_WAVE": str(wave),
             "BENCH_ROUNDS": str(rounds),
             "BENCH_WARMUP": env.get("BENCH_WARMUP", "1"),
+            "BENCH_MODE": "single",
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "SPARK_GRAFT_DRIVER_MEM": env.get("SPARK_GRAFT_DRIVER_MEM", "56g"),
         }

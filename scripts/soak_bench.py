@@ -47,25 +47,51 @@ def main() -> None:
     gc_every = int(os.environ.get("SOAK_GC_EVERY", "1"))
     warmup = int(os.environ.get("SOAK_WARMUP", "2"))
 
+    multihost = os.environ.get("SOAK_MULTIHOST", "0") == "1"
+
     spark = get_spark(app_name="arxiv-crawler-spark-soak")
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages = bench.synth_pages(spark, n_docs)
+    pages = bench.synth_pages(spark, n_docs, multihost=multihost)
     pages = pages.repartition(4 * spark.sparkContext.defaultParallelism)
     pages.count()  # codegen-warm outside timing
 
     store_path = tempfile.mkdtemp(prefix="soak_crawl_")
+    robots = None
+    resolver = None
+    round_seconds = 1e9  # single-host soak: politeness unconstrained
+    if multihost:
+        # Common-Crawl-shaped politeness soak: 8 mirror hosts, budgets that
+        # BIND (sum of budgets ≈ 0.85·wave → real deferral every round) and
+        # one host with a disallow prefix (robots_denied accounting). The
+        # budget math: budget(h) = floor(round_seconds / crawl_delay).
+        from arxiv_crawler_spark.fixtures import N_HOSTS, multihost_resolver
+
+        resolver = multihost_resolver
+        round_seconds = 8.0 * wave / 10  # default-delay hosts get wave/10 each
+        rows = []
+        for k in range(N_HOSTS):
+            delay = 8.0 if k % 4 else 16.0  # every 4th host half-budget
+            # bench world ids are 21xx.yyyyy → deny one id-prefix slice on
+            # mirror1 so robots_denied accounting is exercised (~1/32 of
+            # all discovered links)
+            dis = ["/abs/2101"] if k == 1 else []
+            rows.append((f"mirror{k}.example.org", delay, dis))
+        robots = spark.createDataFrame(
+            rows, "host string, crawl_delay double, disallow array<string>"
+        )
     cfg = CrawlConfig(
         mode="wave",
         max_papers=n_docs,
         wave_size=wave,
-        round_seconds=1e9,
+        round_seconds=round_seconds,
         n_buckets=32,
         use_bloom=True,
         hash_algo="murmur64",
         exact_lineage=False,
+        collect_host_lineage=multihost,  # exercise the deferral audit agg
     )
-    eng = CrawlEngine(spark, store_path, pages, cfg)
+    eng = CrawlEngine(spark, store_path, pages, cfg, robots=robots, link_resolver=resolver)
     # seed the FULL 10^6-URL frontier up front: the frontier is maximal at
     # round 0 and drains by `wave` per round, so live-data work per round is
     # non-increasing by construction — any UPWARD per-round trend over the
@@ -74,6 +100,15 @@ def main() -> None:
     # links still merge count updates into the queued frontier every round
     # (the worst-case uniform-touch COW pattern).
     eng.bootstrap([arxiv_id_of(i) for i in range(n_docs)])
+    # full-frontier seeding means robots filtering bites at BOOTSTRAP (every
+    # url is seeded, so per-round discoveries are never new): count the
+    # denied population once here; per-round robots_denied stays 0 by design
+    denied_at_bootstrap = 0
+    if robots is not None:
+        from pyspark.sql import functions as F
+        denied_at_bootstrap = (
+            eng.store.seen().filter(F.col("status") == "robots_denied").count()
+        )
 
     rows = []
     freed_total = 0
@@ -94,6 +129,9 @@ def main() -> None:
             "urls_per_sec": round(res.waved / dt, 1),
             "new_links": res.new_links,
             "frontier_size": res.frontier_size,
+            "robots_denied": res.robots_denied,
+            "politeness_deferred": res.politeness_deferred,
+            "hosts_deferred": len(res.lineage.get("politeness_deferred_by_host", {}) or {}),
             "gc_bytes_freed": g["bytes_freed"],
             "store_bytes": du(store_path),
         }
@@ -108,8 +146,8 @@ def main() -> None:
     slope = sum((x - mx) * (y - my) for x, y in zip(xs, secs)) / max(
         1e-9, sum((x - mx) ** 2 for x in xs)
     )
-    half = n // 2
-    first, second = secs[:half], secs[half:]
+    half = max(1, n // 2)  # guard the degenerate 1-timed-round smoke case
+    first, second = secs[:half], secs[half:] or secs[:half]
     summary = {
         "soak": {
             "n_docs": n_docs,
@@ -124,6 +162,10 @@ def main() -> None:
             "first_half_mean_sec": round(sum(first) / len(first), 2),
             "second_half_mean_sec": round(sum(second) / len(second), 2),
             "gc_bytes_freed_total": freed_total,
+            "multihost": multihost,
+            "robots_denied_total": sum(r.get("robots_denied", 0) for r in rows),
+            "robots_denied_at_bootstrap": denied_at_bootstrap,
+            "politeness_deferred_total": sum(r.get("politeness_deferred", 0) for r in rows),
             "final_store_bytes": rows[-1]["store_bytes"],
             "master": spark.sparkContext.master,
         }

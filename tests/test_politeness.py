@@ -462,4 +462,4 @@ def test_wave_cap_beyond_2_21(spark):
     assert agg["n"] == cap and agg["dr"] == cap  # exact dense rank
     assert agg["mn"] == 1 and agg["mx"] == cap
     # encoded seq stayed inside the 62-bit layout (no overflow into sign)
-    assert agg["max_seq"] == (1 << 42) + (cap << 14)
+    assert agg["max_seq"] == (1 << 42) + (1 << 41) + (cap << 14)

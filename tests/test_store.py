@@ -128,3 +128,72 @@ def test_cow_buckets_carried_forward(spark, tmp_path_factory):
     assert len(snapshots) > 1, "every bucket rewritten every round — COW not effective"
     # and the frontier still reads coherently
     assert eng.store.frontier(m).count() == m["frontier_size"]
+
+
+# ------------------------------------------------------- iceberg backend
+#
+# Backend (a) of SURVEY.md §7.0.1: native Iceberg tables behind the same
+# store contract. No Iceberg jars ship in this sandbox, so the end-to-end
+# round-trip is gated on a configured catalog; the interface-parity and
+# factory tests always run.
+
+
+def test_iceberg_store_interface_parity(spark):
+    """The sibling must expose the exact store surface the engine calls —
+    a drop-in: same public methods, same commit signature."""
+    import inspect
+
+    from arxiv_crawler_spark.crawl.iceberg_store import IcebergSnapshotStore
+    from arxiv_crawler_spark.crawl.store import SnapshotStore
+
+    surface = [
+        "exists", "manifest", "frontier", "seen", "fetched", "edges",
+        "bloom_shards", "commit", "gc", "_empty_frontier", "_empty_seen",
+    ]
+    for name in surface:
+        assert hasattr(IcebergSnapshotStore, name), name
+    assert inspect.signature(IcebergSnapshotStore.commit) == inspect.signature(
+        SnapshotStore.commit
+    )
+
+
+def test_iceberg_factory_refuses_without_catalog(spark, tmp_path_factory):
+    """Requesting the iceberg backend without a configured catalog must be
+    a loud error (silent parquet fallback would hide a misconfigured
+    production deployment) — both via the factory and via CrawlConfig."""
+    from arxiv_crawler_spark.crawl.iceberg_store import iceberg_available, make_store
+
+    assert not iceberg_available(spark)
+    with pytest.raises(RuntimeError, match="iceberg"):
+        make_store(spark, str(tmp_path_factory.mktemp("ice")), backend="iceberg")
+    with pytest.raises(RuntimeError, match="iceberg"):
+        CrawlEngine(
+            spark,
+            str(tmp_path_factory.mktemp("ice2")),
+            spark_pages(spark, gen_world(n_docs=4, seed=42)),
+            CrawlConfig(store_backend="iceberg", max_papers=2),
+        )
+
+
+def test_iceberg_round_trip(spark, tmp_path_factory):
+    """Full replay crawl on the Iceberg backend — runs only where Iceberg
+    jars + a catalog are configured (e.g. spark-submit --packages
+    org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 with
+    spark.sql.catalog.iceberg=org.apache.iceberg.spark.SparkCatalog)."""
+    from arxiv_crawler_spark.crawl.iceberg_store import iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg catalog configured in this environment")
+    pages = spark_pages(spark, gen_world(n_docs=12, seed=42))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("ice_rt")),
+        pages,
+        CrawlConfig(mode="replay", max_papers=4, n_buckets=8,
+                    store_backend="iceberg"),
+    )
+    eng.bootstrap(gen_seeds(12, n_seeds=2))
+    eng.run()
+    m = eng.store.manifest()
+    assert m["round"] >= 1
+    assert eng.store.seen(m).count() >= 4
