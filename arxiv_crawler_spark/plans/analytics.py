@@ -1463,6 +1463,25 @@ def x62_semantic_search_ann(spark, sf):
     return semantic_search(queries, emb, edges, meta, top_k=5, topk_fn=ivf)
 
 
+def x66_encode_and_search(spark, sf):
+    """U3 end-to-end: encode document texts with the pluggable encoder
+    (stub backend in-sandbox; `model="sentence-transformers/..."` is the
+    documented real path, operators/encoder.py) and run exact cosine top-k
+    over the FRESH vectors — the build-embeddings-then-search composition of
+    build_embeddings_dataset.py + search.py. Stub vectors are md5-seeded
+    numpy draws (not SQL-expressible) → rows-only check."""
+    from arxiv_crawler_spark.operators.encoder import encode_texts
+
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    emb = encode_texts(d, text_col="text", id_col="doc_id", dim=32)
+    emb = emb.withColumnRenamed("doc_id", "vec_id")
+    out = KNN.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def x63_live_metadata_search(spark, sf):
     """The browser's /search (app.py:255-290) over LIVE crawl state: mini
     crawl on the metadata-carrying TEI world, then the three-field
@@ -1608,6 +1627,7 @@ SPARK_QUERIES = {
     "x58_crawler_status": x58_crawler_status,
     "x59_render_tei": x59_render_tei,
     "x60_simhash64_near_pairs": x60_simhash64_near_pairs,
+    "x66_encode_and_search": x66_encode_and_search,
     "x61_knn_ivf": x61_knn_ivf,
     "x62_semantic_search_ann": x62_semantic_search_ann,
     "x63_live_metadata_search": x63_live_metadata_search,

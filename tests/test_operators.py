@@ -292,3 +292,37 @@ def test_bloom_save_load(tmp_path):
     b2 = ShardedBloom.load(p)
     assert b2.contains(keys).all()
     assert b2.m == b.m and b2.k == b.k
+
+
+def test_encode_texts_stub_deterministic_unit_norm(spark):
+    """U3 encoder hook: the stub backend yields per-text deterministic
+    unit-norm vectors across separate jobs (executor-independent), with the
+    (id, embedding array<float>) contract the ANN operators consume."""
+    import numpy as np
+
+    from arxiv_crawler_spark.operators.encoder import encode_texts
+
+    df = spark.createDataFrame(
+        [(i, f"document text {i % 5}") for i in range(20)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["embedding"] for r in encode_texts(df, dim=16).collect()}
+    b = {r["doc_id"]: r["embedding"] for r in encode_texts(df.repartition(7), dim=16).collect()}
+    assert a == b  # deterministic under any partitioning
+    assert a[0] == a[5] and a[0] != a[1]  # equal text → equal vector
+    for v in a.values():
+        assert len(v) == 16
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_encode_texts_real_backend_fails_loudly_without_library(spark):
+    """Requesting a real sentence-transformers model where the library is
+    absent must fail the job with the missing-module error (silently
+    falling back to the stub would poison a production index)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from arxiv_crawler_spark.operators.encoder import encode_texts
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(PythonException, match="sentence_transformers"):
+        encode_texts(df, model="sentence-transformers/all-MiniLM-L6-v2").collect()
