@@ -185,6 +185,20 @@ _RE_ATTR = re.compile(
     r"([A-Za-z_][\w.:-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'<>`]+))?"
 )
 _RE_ENTITY = re.compile(r"&(?:amp|lt|gt|apos|quot|#\d{1,7}|#x[0-9a-fA-F]{1,6});")
+_RE_CTRL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _entity_ok(ref: str) -> bool:
+    """True if an entity match is safe to keep: named refs always; numeric
+    refs only when they denote an XML-1.0-valid character (a ref to e.g.
+    U+0003 is as invalid as the raw byte — libxml2-recover drops it)."""
+    if not ref.startswith("&#"):
+        return True
+    body = ref[2:-1]
+    cp = int(body[1:], 16) if body[:1] in "xX" else int(body)
+    return cp in (0x9, 0xA, 0xD) or (
+        0x20 <= cp <= 0xD7FF or 0xE000 <= cp <= 0xFFFD or 0x10000 <= cp <= 0x10FFFF
+    )
 
 
 def _esc_text(s: str) -> str:
@@ -197,9 +211,11 @@ def _esc_text(s: str) -> str:
         ch = s[i]
         if ch == "&":
             m = _RE_ENTITY.match(s, i)
-            if m:
+            if m and _entity_ok(m.group(0)):
                 out.append(m.group(0))
                 i = m.end()
+            elif m:
+                i = m.end()  # numeric ref to an XML-invalid char — dropped
             else:
                 i += 1  # undefined entity / bare & — dropped
                 m2 = re.match(r"[A-Za-z#][\w#]*;", s[i:])
@@ -222,9 +238,11 @@ def _esc_attr(s: str) -> str:
         ch = s[i]
         if ch == "&":
             m = _RE_ENTITY.match(s, i)
-            if m:
+            if m and _entity_ok(m.group(0)):
                 out.append(m.group(0))
                 i = m.end()
+            elif m:
+                i = m.end()  # numeric ref to an XML-invalid char — dropped
             else:
                 out.append("&amp;")
                 i += 1
@@ -246,6 +264,9 @@ def recover_xml(xml_bytes: bytes) -> str:
     when no root element can be found at all (true garbage stays on the
     failure path, crawler.py:181-186)."""
     text = xml_bytes.decode("utf-8", errors="replace") if isinstance(xml_bytes, bytes) else xml_bytes
+    # C0 control chars (except tab/newline/CR) are invalid in XML 1.0 even
+    # as character data — libxml2-recover drops them; so do we
+    text = _RE_CTRL.sub("", text)
     out: list[str] = []
     stack: list[str] = []
     root_done = False

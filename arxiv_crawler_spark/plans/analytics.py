@@ -1315,6 +1315,71 @@ def x52_knn_lsh(spark, sf):
     return KNN.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def q48_curation_pipeline(spark, sf):
+    """Composed training-data curation (the CCNet-shape pipeline): lang-ID
+    gate → quality-score gate → exact content dedup → corpus stats, all in
+    one declarative plan (one scan of documents, one groupBy on the content
+    hash, one final partial-aggregated rollup — Catalyst fuses the gates
+    into the scan filter). The operators are q29/q28/q23's, composed the way
+    a curation job runs them at 100 TB; the dedup keeps the min-doc_id
+    representative and drops duplicate rows from the stats."""
+    d = load(spark, sf, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "text",
+        TX.lang_guess(t).alias("lang_pred"),
+        TX.quality_score(t).alias("quality"),
+        TX.token_count(t).alias("n_tokens"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    # identical text → identical metrics: min() picks the keeper's values
+    per_hash = kept.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("copies"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("quality").alias("quality"),
+    )
+    return per_hash.agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        (F.sum("copies") - F.count(F.lit(1))).cast("long").alias("dup_rows_removed"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+_SQL_Q48 = """
+with t as (
+  select doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') as toks,
+         len(text) as nc from documents),
+m as (
+  select doc_id, text, len(toks) as nt,
+         (len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+        + len(list_filter(toks, x -> x = 'of')) + len(list_filter(toks, x -> x = 'and'))
+        + len(list_filter(toks, x -> x = 'to')) + len(list_filter(toks, x -> x = 'in'))) as stops,
+         nc - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) as punct, nc
+  from t),
+scored as (
+  select doc_id, text, nt as n_tokens,
+         case when (case when nt > 0 then stops::DOUBLE / nt else 0.0 end) >= 0.08
+              then 'en' else 'other' end as lang_pred,
+         least(1.0, (case when nt > 0 then stops::DOUBLE / nt else 0.0 end) * 5.0) * 0.4
+           + least(1.0, nt::DOUBLE / 100.0) * 0.3
+           + (1.0 - (case when nc > 0 then punct::DOUBLE / nc else 0.0 end)) * 0.3 as quality
+  from m),
+kept as (select * from scored where lang_pred = 'en' and quality >= 0.5),
+per_hash as (
+  select md5(text) as content_hash, min(doc_id) as keeper_id, count(*) as copies,
+         min(n_tokens) as n_tokens, min(quality) as quality
+  from kept group by 1)
+select count(*)::BIGINT as kept_docs,
+       (sum(copies) - count(*))::BIGINT as dup_rows_removed,
+       sum(n_tokens)::BIGINT as total_tokens,
+       round(avg(quality), 6) as avg_quality
+from per_hash
+"""
+
+
 def x61_knn_ivf(spark, sf):
     """IVF similarity search (spherical-k-means coarse quantizer + cell
     probes) — the second ANN scale path next to x52's LSH; planted-neighbor
@@ -1616,6 +1681,7 @@ SPARK_QUERIES = {
     "q44_paginate_cited_by": q44_paginate_cited_by,
     "q46_metadata_search": q46_metadata_search,
     "q47_cited_by_contexts": q47_cited_by_contexts,
+    "q48_curation_pipeline": q48_curation_pipeline,
     "x50_crawl_replay": x50_crawl_replay,
     "x51_extract_tei": x51_extract_tei,
     "x52_knn_lsh": x52_knn_lsh,
@@ -1686,4 +1752,5 @@ ORACLE_SQL = {
     "x60_simhash64_near_pairs": _sql_x60(),
     "x55_embedding_near_pairs_lsh": _sql_x55(),
     "q47_cited_by_contexts": _SQL_Q47,
+    "q48_curation_pipeline": _SQL_Q48,
 }

@@ -108,3 +108,95 @@ def test_parse_robots_round_trip(groups, agent):
         return (delay, dis)
 
     assert parse_robots_txt(text, agent) == expect(agent)
+
+
+# ------------------------------------------------------- XML recovery (r4)
+#
+# recover_xml (extraction/tei.py) must satisfy two properties on ARBITRARY
+# mutations of well-formed documents: (1) its output is always well-formed
+# XML (ET parses it), and (2) structure-preserving damage — deleting END
+# tags only — never loses character data that lived inside the root.
+
+import re as _re
+import xml.etree.ElementTree as _ET
+
+from arxiv_crawler_spark.extraction.tei import recover_xml
+
+
+def _doc(parts: list[tuple[str, str]]) -> str:
+    """Build a small nested doc from (tag, text) pairs."""
+    out = ["<root>"]
+    for tag, text in parts:
+        out.append(f"<{tag}>{text}")
+    for tag, _ in reversed(parts):
+        out.append(f"</{tag}>")
+    out.append("</root>")
+    return "".join(out)
+
+
+_tags = st.sampled_from(["div", "p", "s", "ref", "biblStruct", "title"])
+_texts = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    max_size=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(parts=st.lists(st.tuples(_tags, _texts), min_size=1, max_size=8),
+       drop=st.data())
+def test_recover_xml_end_tag_deletion_keeps_all_text(parts, drop):
+    doc = _doc(parts)
+    # delete a random subset of END tags (Grobid-died / truncation damage)
+    ends = [m.span() for m in _re.finditer(r"</[^>]+>", doc)]
+    keep_mask = drop.draw(st.lists(st.booleans(), min_size=len(ends), max_size=len(ends)))
+    damaged, prev = [], 0
+    for (a, b), keep in zip(ends, keep_mask):
+        damaged.append(doc[prev:a])
+        if keep:
+            damaged.append(doc[a:b])
+        prev = b
+    damaged.append(doc[prev:])
+    repaired = recover_xml("".join(damaged).encode())
+    root = _ET.fromstring(repaired)  # (1) always well-formed
+    # (2) all character data survives, in document order
+    want = "".join(t for _, t in parts)
+    got = "".join(root.itertext())
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(junk=st.text(max_size=40))
+def test_recover_xml_arbitrary_junk_inside_root_stays_parseable(junk):
+    """Arbitrary junk (stray <, &, unterminated tags) inside a root element
+    either parses after recovery or raises ParseError — never a crash of a
+    different class, and never unbalanced output."""
+    try:
+        repaired = recover_xml(f"<root><p>{junk}</p></root>".encode())
+    except _ET.ParseError:
+        return
+    _ET.fromstring(repaired)
+
+
+# --------------------------------------------------- discovery_seq (r4)
+
+
+@settings(max_examples=300, deadline=None)
+@given(a=st.tuples(st.integers(0, (1 << 20) - 1), st.integers(0, 1),
+                   st.integers(0, (1 << 27) - 1), st.integers(0, (1 << 14) - 1)),
+       b=st.tuples(st.integers(0, (1 << 20) - 1), st.integers(0, 1),
+                   st.integers(0, (1 << 27) - 1), st.integers(0, (1 << 14) - 1)))
+def test_seq_encoding_is_order_isomorphic(a, b):
+    """The int64 packing must order exactly like the insertion tuple
+    (round, is_discovery, pop_rank-or-seed_idx, bib): seeds (is_disc=0)
+    use (idx := rank<<14 | bib) as a plain low-field value. Pure-python
+    mirror of the column arithmetic in crawl/frontier.py."""
+
+    def enc(t):
+        r, is_disc, rank, bib = t
+        low = (is_disc << 41) | (rank << 14) | bib
+        return (r << 42) | low
+
+    ta = (a[0], a[1], a[2], a[3])
+    tb = (b[0], b[1], b[2], b[3])
+    assert (enc(a) < enc(b)) == (ta < tb)
+    assert enc(a) < (1 << 63)  # never overflows into the sign bit
