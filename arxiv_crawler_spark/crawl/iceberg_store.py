@@ -236,7 +236,7 @@ class IcebergSnapshotStore:
         rows = (
             self.spark.sql(
                 f"SELECT snapshot_id FROM {self._tbl(name)}.snapshots "
-                "ORDER BY committed_at DESC LIMIT 1"
+                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
             ).collect()
         )
         return int(rows[0][0]) if rows else None
@@ -268,7 +268,11 @@ class IcebergSnapshotStore:
                 "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
             )
             if changed_buckets is None:
-                fr.writeTo(self._tbl("frontier")).overwritePartitions()
+                # FULL rewrite: dynamic overwrite would keep partitions
+                # absent from `fr` (e.g. a bucket that drained empty) — an
+                # unconditional overwrite replaces the whole table contents
+                # in one atomic snapshot
+                fr.writeTo(self._tbl("frontier")).overwrite(F.lit(True))
             else:
                 # dynamic overwrite only touches partitions present in `fr`;
                 # a bucket that became EMPTY must still be overwritten —
