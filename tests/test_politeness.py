@@ -463,3 +463,31 @@ def test_wave_cap_beyond_2_21(spark):
     assert agg["mn"] == 1 and agg["mx"] == cap
     # encoded seq stayed inside the 62-bit layout (no overflow into sign)
     assert agg["max_seq"] == (1 << 42) + (1 << 41) + (cap << 14)
+
+
+def test_budget_join_non_broadcast_parity(spark):
+    """broadcast_budgets=False (the >broadcast_hosts_max escape hatch) must
+    select the exact same wave as the broadcast plan, and exceptions-only
+    budgets must behave identically to the full budget table (the left
+    join + coalesce(default) treats absent hosts as default)."""
+    rows = [
+        (i, f"https://h{i % 9}.x/{i}", f"h{i % 9}.x", (i * 13) % 200, i % 4, i)
+        for i in range(3000)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "url_hash long, url string, host string, count long, depth int, discovery_seq long"
+    ).repartition(8)
+    default = 30
+    full = spark.createDataFrame(
+        [(f"h{k}.x", 10 + 10 * k) for k in range(9)], "host string, budget int"
+    )
+    exceptions = full.filter(F.col("budget") != default)  # h2.x (=30) dropped
+    waves = []
+    for bgt, bcast in [(full, True), (exceptions, True), (exceptions, False)]:
+        w = select_wave(
+            frontier, "citations", wave_cap=400, host_budgets=bgt,
+            default_budget=default, broadcast_budgets=bcast, salt_factor=4,
+        )
+        waves.append(sorted(tuple(r) for r in w.collect()))
+    assert waves[0] == waves[1] == waves[2]
+    assert len(waves[0]) == 400
