@@ -1380,6 +1380,42 @@ from per_hash
 """
 
 
+def q49_pagerank(spark, sf):
+    """Damped PageRank over the synthetic citation edges (operators/
+    graph.py): 3 fixpoint iterations unrolled into one linear plan — the
+    iterative join-agg workload class (importance ranking for seed
+    prioritization / training-data sampling). Oracle: the same three
+    iterations unrolled as chained CTEs in SQL."""
+    from arxiv_crawler_spark.operators.graph import pagerank
+
+    docs = load(spark, sf, "documents")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = _synth_edges(docs).select("citer", "cited")
+    out = pagerank(edges, nodes, iterations=3, damping=0.85)
+    return out.select("node", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _sql_q49(iterations: int = 3, damping: float = 0.85) -> str:
+    it = """,
+c{j} as (
+  select e.cited as node, sum(r{i}.r / o.od) as c
+  from {edges} e join r{i} on r{i}.node = e.citer join outdeg o on o.citer = e.citer
+  group by 1),
+r{j} as (
+  select nodes.node, (select base from consts) + {d} * coalesce(c{j}.c, 0.0) as r
+  from nodes left join c{j} on c{j}.node = nodes.node)"""
+    steps = "".join(
+        it.format(i=i, j=i + 1, d=damping, edges="{edges}") for i in range(iterations)
+    )
+    return f"""
+with nodes as (select doc_id as node from documents),
+consts as (select 1.0 / count(*) as r0val, {1.0 - damping} / count(*) as base from nodes),
+outdeg as (select citer, count(*)::DOUBLE as od from {{edges}} e group by 1),
+r0 as (select node, (select r0val from consts) as r from nodes){steps}
+select node, round(r, 6) as pagerank from r{iterations}
+""".format(edges=_SQL_EDGES)
+
+
 def x61_knn_ivf(spark, sf):
     """IVF similarity search (spherical-k-means coarse quantizer + cell
     probes) — the second ANN scale path next to x52's LSH; planted-neighbor
@@ -1547,6 +1583,40 @@ def x66_encode_and_search(spark, sf):
     )
 
 
+def x67_store_tail_stream(spark, sf):
+    """Structured-Streaming tail over the crawl store's append log
+    (streaming/tail.py): mini crawl, then an availableNow pass over the
+    edges tail maintaining running cited-by counts — parity with the batch
+    log reader is asserted in tests/test_streaming.py. Rows-only check
+    (the view is a live-store composition, like x58)."""
+    import tempfile
+
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+    from arxiv_crawler_spark.streaming.tail import cited_by_counts_stream, stream_edges
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    store = tempfile.mkdtemp(prefix="xq_tail_")
+    eng = CrawlEngine(
+        spark, store, pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=True),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+    q = (
+        cited_by_counts_stream(stream_edges(spark, store))
+        .writeStream.format("memory").queryName("x67_tail")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="xq_tail_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        "select cited_arxiv_id, cited_by_count from x67_tail order by cited_arxiv_id"
+    )
+
+
 def x63_live_metadata_search(spark, sf):
     """The browser's /search (app.py:255-290) over LIVE crawl state: mini
     crawl on the metadata-carrying TEI world, then the three-field
@@ -1682,6 +1752,7 @@ SPARK_QUERIES = {
     "q46_metadata_search": q46_metadata_search,
     "q47_cited_by_contexts": q47_cited_by_contexts,
     "q48_curation_pipeline": q48_curation_pipeline,
+    "q49_pagerank": q49_pagerank,
     "x50_crawl_replay": x50_crawl_replay,
     "x51_extract_tei": x51_extract_tei,
     "x52_knn_lsh": x52_knn_lsh,
@@ -1694,6 +1765,7 @@ SPARK_QUERIES = {
     "x59_render_tei": x59_render_tei,
     "x60_simhash64_near_pairs": x60_simhash64_near_pairs,
     "x66_encode_and_search": x66_encode_and_search,
+    "x67_store_tail_stream": x67_store_tail_stream,
     "x61_knn_ivf": x61_knn_ivf,
     "x62_semantic_search_ann": x62_semantic_search_ann,
     "x63_live_metadata_search": x63_live_metadata_search,
@@ -1753,4 +1825,5 @@ ORACLE_SQL = {
     "x55_embedding_near_pairs_lsh": _sql_x55(),
     "q47_cited_by_contexts": _SQL_Q47,
     "q48_curation_pipeline": _SQL_Q48,
+    "q49_pagerank": _sql_q49(),
 }

@@ -326,3 +326,34 @@ def test_encode_texts_real_backend_fails_loudly_without_library(spark):
     df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     with pytest.raises(PythonException, match="sentence_transformers"):
         encode_texts(df, model="sentence-transformers/all-MiniLM-L6-v2").collect()
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """operators/graph.py::pagerank vs a dense numpy power iteration on a
+    small digraph with a dangling node and a multi-edge — same damping,
+    same iteration count, same no-dangling-redistribution semantics."""
+    import numpy as np
+
+    from arxiv_crawler_spark.operators.graph import pagerank
+
+    #           0→1, 0→2, 1→2, 2→0, 2→0 (multi-edge), 3 dangling
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 0)]
+    n, d, iters = 4, 0.85, 4
+    edges = spark.createDataFrame(E, "citer long, cited long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges, nodes, iterations=iters, damping=d).collect()
+    }
+
+    r = np.full(n, 1.0 / n)
+    od = {0: 2, 1: 1, 2: 2}
+    for _ in range(iters):
+        c = np.zeros(n)
+        for s_, t_ in E:
+            c[t_] += r[s_] / od[s_]
+        r = (1 - d) / n + d * c
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+    # structural sanity: 0 and 2 reinforce each other above the dangling node
+    assert got[2] > got[1] > got[3]

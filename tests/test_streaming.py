@@ -205,3 +205,65 @@ def test_stateful_state_spans_microbatches(spark, sf_dir, tmp_path):
     for r in spark.sql("select * from sess_mb order by user_id, session_idx").collect():
         got[(r["user_id"], r["session_idx"])] = (r["n_events"], r["sum_value"])
     assert got == want
+
+
+def test_store_tail_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming tail over the crawl store's append logs: after a mini
+    crawl, an availableNow pass over the edges/fetched tails must see
+    exactly the committed log (same rows as the batch store readers), and
+    the running cited-by aggregation must equal the batch q34/J7 view."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+    from arxiv_crawler_spark.streaming.tail import (
+        cited_by_counts_stream,
+        stream_edges,
+        stream_fetched,
+    )
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    store = str(tmp_path_factory.mktemp("tail_store"))
+    eng = CrawlEngine(
+        spark, store, pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=False),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+
+    ckpt = tempfile.mkdtemp(prefix="tail_ckpt_")
+    q = (
+        cited_by_counts_stream(stream_edges(spark, store))
+        .writeStream.format("memory").queryName("tail_cited")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt + "/e")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["cited_arxiv_id"]: r["cited_by_count"]
+        for r in spark.sql("select * from tail_cited").collect()
+    }
+    want = {
+        r["cited_arxiv_id"]: r["n"]
+        for r in eng.store.edges()
+        .filter(F.col("cited_arxiv_id").isNotNull())
+        .groupBy("cited_arxiv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    q2 = (
+        stream_fetched(spark, store)
+        .writeStream.format("memory").queryName("tail_fetched")
+        .option("checkpointLocation", ckpt + "/f")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    n_stream = spark.sql("select count(*) c from tail_fetched").collect()[0]["c"]
+    assert n_stream == eng.store.fetched().count()
