@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "lsh_topk", "lsh_near_pairs", "ivf_topk"]
+__all__ = ["cosine", "brute_force_topk", "lsh_topk", "lsh_near_pairs", "ivf_topk", "pq_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -329,4 +329,128 @@ def lsh_near_pairs(
         # a pair can collide in several tables — keep each pair once
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("_cos", 6).alias("cos"))
+    )
+
+
+def _lloyd_kmeans_l2(x: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Plain Euclidean Lloyd's k-means (the PQ sub-quantizer trainer —
+    subvectors are NOT unit-norm, so spherical k-means is wrong here).
+    Deterministic: fixed init, fixed iterations."""
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_sub: int = 16,
+    overfetch: int = 4,
+    dim: int = 64,
+    sample_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization (ADC) + exact re-rank —
+    the MEMORY scale path next to ``lsh_topk`` (bucketing) and ``ivf_topk``
+    (cell pruning).
+
+    The 100-TB motivation: a 64-float embedding is 256 B; its PQ code is
+    ``m`` bytes (m=8 → 32× smaller). The ADC scan therefore touches codes,
+    never vectors — the scoring join ships (id, codes) only, and full
+    vectors are fetched (by id, bounded ``overfetch·k`` per query) solely
+    for the exact re-rank. Composes with IVF (probe cells, then ADC within
+    them) exactly like FAISS ``IVFPQ``; kept orthogonal here so each
+    pruning axis is testable alone.
+
+    Mechanics (all JVM once trained): corpus vectors are L2-normalized and
+    split into ``m`` subvectors; per-subspace Euclidean k-means codebooks
+    (trained driver-side on the same deterministic hash-pruned sample as
+    ``ivf_topk``) are baked into the plan as literals; encoding is argmin
+    distance = argmax(sub·c − |c|²/2); ADC score(q, cand) =
+    Σₘ ⟨q_sub_m, codebook_m[code_m]⟩ ≈ ⟨q̂, ĉ⟩ = cosine on normalized
+    vectors. Output: exact cosine of the re-ranked winners — same contract
+    as ``brute_force_topk`` (recall asserted in tests)."""
+    sub = dim // m
+    assert sub * m == dim, "dim must divide into m equal subspaces"
+    n_corpus = corpus.count()
+    p = max(1, n_corpus // (4 * sample_size))
+    cand = corpus.select(id_col, vec_col)
+    if p > 1:
+        cand = cand.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(p)) == 0)
+    sample = np.array(
+        [r[0] for r in cand.select(vec_col).orderBy(id_col).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    books = [
+        _lloyd_kmeans_l2(sample[:, j * sub : (j + 1) * sub], k_sub, seed=seed + j)
+        for j in range(m)
+    ]
+
+    def normed(col: Column) -> Column:
+        n = _norm(col)
+        return F.transform(col, lambda x: x.cast("double") / n)
+
+    def sub_slice(col: Column, j: int) -> Column:
+        return F.slice(col, j * sub + 1, sub)
+
+    # encode: per subspace, argmax of (sub·c − |c|²/2) over the book
+    def code_expr(nv: Column, j: int) -> Column:
+        scores = F.array(
+            *[
+                _dot(sub_slice(nv, j), F.array(*[F.lit(float(v)) for v in c]))
+                - F.lit(float((c @ c) / 2.0))
+                for c in books[j]
+            ]
+        )
+        return (F.array_position(scores, F.array_max(scores))).cast("int")  # 1-based
+
+    nv_c = normed(F.col(vec_col))
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*[code_expr(nv_c, j) for j in range(m)]).alias("codes"),
+    )
+
+    # ADC: codebooks as array<array<double>> literals, element_at by code
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in books[j]])
+        for j in range(m)
+    ]
+    nv_q = normed(F.col("qv"))
+    adc = None
+    for j in range(m):
+        term = _dot(sub_slice(nv_q, j), F.element_at(cb_lits[j], F.col("codes")[j]))
+        adc = term if adc is None else adc + term
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    wa = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc("neighbor_id"))
+    shortlist = (
+        F.broadcast(q)
+        .crossJoin(coded)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_adc", adc)
+        .withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= overfetch * k)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    # exact re-rank: fetch ONLY the shortlisted vectors
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = shortlist.join(cv, "neighbor_id").withColumn(
+        "cos", cosine(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -357,3 +357,38 @@ def test_pagerank_matches_dense_reference(spark):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
     # structural sanity: 0 and 2 reinforce each other above the dangling node
     assert got[2] > got[1] > got[3]
+
+
+def test_pq_recall_and_rerank_exactness(spark, sf_dir):
+    """The PQ (ADC + exact re-rank) path: planted near neighbors are found
+    at ≥ 0.9 recall while the scoring join carries m-byte codes instead of
+    vectors; the cosines it returns are EXACT (re-rank computes them on
+    the true vectors, so every (query, neighbor) it shares with brute
+    force carries the identical rounded score); deterministic."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    rng = np.random.RandomState(5)
+    qrows = [
+        (10_000 + i, (base[i] + 0.05 * np.linalg.norm(base[i]) / 8 * rng.randn(len(base[i]))).astype("float32").tolist())
+        for i in sorted(base)[:30]
+    ]
+    queries = spark.createDataFrame(qrows, ["vec_id", "embedding"])
+    hits = KNN.pq_topk(queries, emb, k=5, m=8, k_sub=16, dim=len(base[0]))
+    by_q = {}
+    for r in hits.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    found = sum(1 for qid, ns in by_q.items() if (qid - 10_000) in ns)
+    assert found / len(qrows) >= 0.9, f"PQ planted-neighbor recall too low: {found / len(qrows)}"
+
+    q20 = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]): round(r["cos"], 6)
+             for r in KNN.brute_force_topk(q20, emb, k=5).collect()}
+    pq = {(r["query_id"], r["neighbor_id"]): round(r["cos"], 6)
+          for r in KNN.pq_topk(q20, emb, k=5, overfetch=8).collect()}
+    shared = set(exact) & set(pq)
+    assert len(shared) / len(exact) >= 0.6  # ADC shortlist quality on near-random data
+    for key in shared:
+        assert exact[key] == pq[key]  # re-ranked scores are the true cosines
+    again = {(r["query_id"], r["neighbor_id"]): round(r["cos"], 6)
+             for r in KNN.pq_topk(q20, emb, k=5, overfetch=8).collect()}
+    assert again == pq  # deterministic codebooks + search
