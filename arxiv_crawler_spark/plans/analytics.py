@@ -1437,6 +1437,18 @@ def x68_knn_pq(spark, sf):
     )
 
 
+def x69_knn_ivfpq(spark, sf):
+    """Composed IVFPQ search (operators/knn.py::ivf_pq_topk): coarse-cell
+    pruning × PQ code compression × exact re-rank — the full FAISS-IVFPQ
+    shape; recall ≥ 0.85 on planted neighbors asserted in tests."""
+    emb = load(spark, sf, "embeddings")
+    out = KNN.ivf_pq_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_probe=6)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def x53_media_features(spark, sf):
     """Multimodal plumbing: synthetic media → Arrow feature extraction.
 
@@ -1780,6 +1792,7 @@ SPARK_QUERIES = {
     "x66_encode_and_search": x66_encode_and_search,
     "x67_store_tail_stream": x67_store_tail_stream,
     "x68_knn_pq": x68_knn_pq,
+    "x69_knn_ivfpq": x69_knn_ivfpq,
     "x61_knn_ivf": x61_knn_ivf,
     "x62_semantic_search_ann": x62_semantic_search_ann,
     "x63_live_metadata_search": x63_live_metadata_search,

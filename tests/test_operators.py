@@ -392,3 +392,29 @@ def test_pq_recall_and_rerank_exactness(spark, sf_dir):
     again = {(r["query_id"], r["neighbor_id"]): round(r["cos"], 6)
              for r in KNN.pq_topk(q20, emb, k=5, overfetch=8).collect()}
     assert again == pq  # deterministic codebooks + search
+
+
+def test_ivf_pq_recall(spark, sf_dir):
+    """The composed IVFPQ path (cell pruning × code compression): planted
+    near neighbors found at ≥ 0.85 recall while only n_probe/n_cells of
+    the corpus is ADC-scored and the scoring join carries codes, not
+    vectors; deterministic."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    rng = np.random.RandomState(11)
+    qrows = [
+        (10_000 + i, (base[i] + 0.05 * np.linalg.norm(base[i]) / 8 * rng.randn(len(base[i]))).astype("float32").tolist())
+        for i in sorted(base)[:30]
+    ]
+    queries = spark.createDataFrame(qrows, ["vec_id", "embedding"])
+    hits = KNN.ivf_pq_topk(queries, emb, k=5, n_cells=16, n_probe=4, dim=len(base[0]))
+    by_q = {}
+    for r in hits.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    found = sum(1 for qid, ns in by_q.items() if (qid - 10_000) in ns)
+    assert found / len(qrows) >= 0.85, f"IVFPQ planted-neighbor recall too low: {found / len(qrows)}"
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in KNN.ivf_pq_topk(queries, emb, k=5, n_cells=16, n_probe=4, dim=len(base[0])).collect()
+    }
+    assert again == {(q_, n_) for q_, ns in by_q.items() for n_ in ns}
