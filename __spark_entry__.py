@@ -5,7 +5,7 @@ deterministic synthetic TEI world (frontier → wave → fetch-join → Arrow
 extraction → anti-join dedupe → frontier merge → snapshot), returning the
 pop-ordered crawl trace.
 
-``queries()`` (69) / ``oracle_sql()`` (52) — the operator surface of SURVEY.md §2 plus
+``queries()`` (69) / ``oracle_sql()`` (53) — the operator surface of SURVEY.md §2 plus
 the training-data-pipeline operators (dedup / similarity search / text
 analysis / multimodal), checked against DuckDB at sf=0.01.
 """

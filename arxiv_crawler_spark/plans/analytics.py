@@ -1551,21 +1551,42 @@ def x56_approx_distinct(spark, sf):
 
 
 def x57_host_skew_wave(spark, sf):
-    """Salted two-level window rank under Zipf host skew: per-host budget 5
-    over a synthetic skewed frontier (one host holds ~half the urls)."""
+    """Salted two-level window rank under Zipf host skew (W1/X6 core): one
+    host holds half the 20k-url frontier, per-host budget 30 binds, and the
+    global 500 cap binds on top. The frontier is pure id arithmetic so the
+    ENTIRE wave selection — salted per-host windows + global priority cap —
+    is hash-checked against a plain-window DuckDB oracle (the salt is an
+    internal skew-defeat detail; the selected set is salt-invariant)."""
     from arxiv_crawler_spark.crawl.frontier import select_wave
 
     n = 20000
+    hostk = (F.col("id") % 40) * (F.col("id") % 2)  # even ids → h0 (the hot host)
     frontier = spark.range(n).select(
         F.col("id").alias("url_hash"),
-        F.concat(F.lit("https://h"), (F.pmod(F.xxhash64("id"), F.lit(40)) * F.pmod(F.xxhash64("id"), F.lit(2))).alias("x").cast("string"), F.lit(".x/"), F.col("id").cast("string")).alias("url"),
-        F.concat(F.lit("h"), (F.pmod(F.xxhash64("id"), F.lit(40)) * F.pmod(F.xxhash64("id"), F.lit(2))).cast("string"), F.lit(".x")).alias("host"),
+        F.concat(F.lit("https://h"), hostk.cast("string"), F.lit(".x/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), hostk.cast("string"), F.lit(".x")).alias("host"),
         (F.col("id") % 100).alias("count"),
         (F.col("id") % 5).cast("int").alias("depth"),
         F.col("id").alias("discovery_seq"),
     )
-    wave = select_wave(frontier, "citations", wave_cap=500, host_budgets=None, default_budget=5, salt_factor=8)
+    wave = select_wave(frontier, "citations", wave_cap=500, host_budgets=None, default_budget=30, salt_factor=8)
     return wave.groupBy("host").agg(F.count(F.lit(1)).alias("selected")).orderBy("host")
+
+
+_SQL_X57 = """
+with f as (
+  select range as id, 'h' || ((range % 40) * (range % 2))::VARCHAR || '.x' as host,
+         range % 100 as cnt, range % 5 as depth, range as seq
+  from range(20000)),
+hr as (
+  select *, row_number() over (partition by host order by cnt desc, depth asc, seq asc) as r
+  from f),
+g as (
+  select *, row_number() over (order by cnt desc, depth asc, seq asc) as gr
+  from hr where r <= 30)
+select host, count(*)::BIGINT as selected from g where gr <= 500
+group by host order by host
+"""
 
 
 def x62_semantic_search_ann(spark, sf):
@@ -1850,6 +1871,7 @@ ORACLE_SQL = {
     "x54_simhash_near_pairs": _sql_x54(),
     "x60_simhash64_near_pairs": _sql_x60(),
     "x55_embedding_near_pairs_lsh": _sql_x55(),
+    "x57_host_skew_wave": _SQL_X57,
     "q47_cited_by_contexts": _SQL_Q47,
     "q48_curation_pipeline": _SQL_Q48,
     "q49_pagerank": _sql_q49(),
