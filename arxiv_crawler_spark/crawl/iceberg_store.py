@@ -108,7 +108,11 @@ class IcebergSnapshotStore:
         "url_hash BIGINT, url STRING, host STRING, count BIGINT, "
         "depth INT, discovery_seq BIGINT, bucket INT"
     )
-    _SEEN_DDL = "url_hash BIGINT, url STRING, status STRING"
+    # _round/_tag are commit-idempotency bookkeeping (stamped on every
+    # append delta, stripped on read): re-running a torn round first
+    # deletes that (round, tag)'s rows, so the appends are exactly-once
+    # even though the rounds-row flip happens after the data writes
+    _SEEN_DDL = "url_hash BIGINT, url STRING, status STRING, _round INT, _tag STRING"
     _ROUNDS_DDL = (
         "round INT, tag STRING, committed_order BIGINT, "
         "snapshot_ids STRING, bloom_shards STRING, meta STRING"
@@ -199,7 +203,8 @@ class IcebergSnapshotStore:
         # time-travel to the snapshot the round row recorded: commits to
         # other tables after a torn round are invisible, exactly like an
         # un-flipped manifest
-        return self.spark.read.option("snapshot-id", snap_id).table(self._tbl(name))
+        df = self.spark.read.option("snapshot-id", snap_id).table(self._tbl(name))
+        return df.drop("_round", "_tag")
 
     def frontier(self, manifest: dict[str, Any] | None = None) -> DataFrame:
         try:
@@ -233,12 +238,15 @@ class IcebergSnapshotStore:
 
     # ------------------------------------------------------------ commit
     def _snapshot_id(self, name: str) -> int | None:
-        rows = (
-            self.spark.sql(
-                f"SELECT snapshot_id FROM {self._tbl(name)}.snapshots "
-                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
-            ).collect()
-        )
+        """The table's CURRENT snapshot, read from the main branch ref.
+        Not a timestamp sort: Iceberg snapshot ids are random and
+        ``committed_at`` has millisecond granularity, so two back-to-back
+        commits (the frontier's overwritePartitions + emptied-bucket
+        DELETE) can share a timestamp and a sort would be free to record
+        the pre-delete snapshot — resurfacing drained buckets on read."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._tbl(name)}.refs WHERE name = 'main'"
+        ).collect()
         return int(rows[0][0]) if rows else None
 
     def commit(
@@ -290,16 +298,35 @@ class IcebergSnapshotStore:
                     )
             snap_ids["frontier"] = self._snapshot_id("frontier")
 
-        def _append(name: str, df: DataFrame | None) -> None:
+        def _append(name: str, df: DataFrame | None, lazy_create: bool = True) -> None:
+            """Idempotent round append: a crash between the data appends and
+            the rounds-row flip leaves this (round, tag)'s rows in the table
+            with no manifest reference; the re-run deletes them before
+            appending, so re-executed rounds never duplicate log rows (the
+            parquet store gets the same guarantee by clobbering the crashed
+            snapshot directory)."""
             if df is None:
                 return
-            if name in snap_ids:
+            df = df.withColumn("_round", F.lit(round_no).cast("int")).withColumn(
+                "_tag", F.lit(tag)
+            )
+            table_live = (not lazy_create) or name in snap_ids
+            if table_live:
+                self.spark.sql(
+                    f"DELETE FROM {self._tbl(name)} "
+                    f"WHERE _round = {int(round_no)} AND _tag = '{tag}'"
+                )
                 df.writeTo(self._tbl(name)).append()
             else:
+                # fetched/edges only: schema varies with engine options, so
+                # the table is created from the first delta. seen is never
+                # created here — createOrReplace would silently drop the
+                # bucket(32, url_hash) spec and write properties
+                # _ensure_tables declared for anti-join pruning.
                 df.writeTo(self._tbl(name)).using("iceberg").createOrReplace()
             snap_ids[name] = self._snapshot_id(name)
 
-        _append("seen", seen_delta)
+        _append("seen", seen_delta, lazy_create=False)
         _append("fetched", fetched_delta)
         _append("edges", edges_delta)
 
@@ -344,16 +371,42 @@ class IcebergSnapshotStore:
 
     # ---------------------------------------------------------------- gc
     def gc(self, file_level: bool = True) -> dict[str, Any]:
-        """Iceberg-native maintenance: expire everything older than the
-        snapshots the latest round references, then drop orphans."""
+        """Iceberg-native maintenance. Retention is pinned to the snapshot
+        ids the last committed ``rounds`` row references — NOT blanket
+        ``retain_last => 1``, which keeps only each table's latest snapshot:
+        after a torn round the tables carry newer uncommitted snapshots, and
+        latest-only retention would expire exactly the snapshots the
+        manifest time-travels to, breaking ``_read``. Bounding
+        ``older_than`` by the referenced snapshot's own commit timestamp
+        expires strictly-older history while the referenced snapshot (and
+        anything newer) survives; superseded torn snapshots age out on the
+        next gc after a newer round commits past them."""
         kept = self.manifest()["snapshot_ids"] if self.exists() else {}
         freed = 0
         for name in ("frontier", "seen", "fetched", "edges", "rounds"):
             try:
-                self.spark.sql(
-                    f"CALL {self.catalog}.system.expire_snapshots("
-                    f"table => '{self.namespace}.{name}', retain_last => 1)"
-                )
+                snap = kept.get(name)
+                ts = None
+                if snap is not None:
+                    rows = self.spark.sql(
+                        f"SELECT committed_at FROM {self._tbl(name)}.snapshots "
+                        f"WHERE snapshot_id = {int(snap)}"
+                    ).collect()
+                    ts = rows[0][0] if rows else None
+                if ts is not None:
+                    lit = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+                    self.spark.sql(
+                        f"CALL {self.catalog}.system.expire_snapshots("
+                        f"table => '{self.namespace}.{name}', "
+                        f"older_than => TIMESTAMP '{lit}', retain_last => 1)"
+                    )
+                else:
+                    # no manifest reference (e.g. the rounds table itself):
+                    # latest-only retention is safe
+                    self.spark.sql(
+                        f"CALL {self.catalog}.system.expire_snapshots("
+                        f"table => '{self.namespace}.{name}', retain_last => 1)"
+                    )
                 if file_level:
                     self.spark.sql(
                         f"CALL {self.catalog}.system.remove_orphan_files("

@@ -48,7 +48,6 @@ from pyspark.sql import functions as F
 from arxiv_crawler_spark.crawl import politeness as pol
 from arxiv_crawler_spark.crawl.bloom import bloom_flag
 from arxiv_crawler_spark.crawl.frontier import (
-    encode_seq,
     hist_cell_cols,
     merge_frontier,
     merge_seeds,
@@ -770,9 +769,13 @@ class CrawlEngine:
                 canonicalize_url(self.link_resolver(F.col("cited_arxiv_id"))),
             ),
         )
-        # internal = cited paper is itself in the crawled dataset (app.py:448)
+        # internal = cited paper is itself in the crawled dataset (app.py:448).
+        # Join strategy is left to Catalyst/AQE (same policy as
+        # cited_by_contexts below): the processed set IS the dataset, so a
+        # forced broadcast would ship the whole corpus to every executor at
+        # a 10^10-URL crawl; AQE still picks broadcast when it's small.
         flagged = edges.join(
-            F.broadcast(proc_urls), edges.cited_url == proc_urls.p_url, "left"
+            proc_urls, edges.cited_url == proc_urls.p_url, "left"
         ).withColumn("is_internal", F.col("p_url").isNotNull())
         per_citer = flagged.groupBy(F.col("citing_url").alias("url")).agg(
             F.sum(F.when(F.col("is_internal"), 1).otherwise(0)).alias("internal_citations"),

@@ -54,10 +54,17 @@ class SnapshotStore:
         compact_seen_after: int = 48,
         bloom_bits_per_shard: int = 1 << 20,
         bloom_hashes: int = 7,
+        tail_publish: str = "link",
     ):
         self.path = path
         self.spark = spark
         self.n_buckets = n_buckets
+        # committed-rounds tail publication mode for the streaming tail
+        # (streaming/tail.py): "link" hardlinks each committed delta's files
+        # into tail/<log>/ AFTER the manifest flip (exactly-once source for
+        # readStream), "copy" for filesystems without hardlinks (object
+        # stores), "off" disables the tail tree
+        self.tail_publish = tail_publish
         # bloom shard files reuse the bucket count so bitmap shards are
         # co-located with their seen/frontier key ranges
         self.bloom_bits_per_shard = bloom_bits_per_shard
@@ -347,7 +354,84 @@ class SnapshotStore:
             **measured,
         }
         self._write_manifest(m)
+        self._publish_tail(m)
         return m
+
+    # ------------------------------------------------------------- tail
+    _TAIL_LOGS = {"fetched": "fetched_deltas", "edges": "edges_deltas", "seen": "seen_deltas"}
+
+    def _publish_tail(self, m: dict[str, Any]) -> None:
+        """Publish committed round deltas into ``tail/<log>/`` for the
+        streaming tail (streaming/tail.py) — AFTER the manifest flip, so
+        the tail tree contains only committed data and a ``readStream``
+        over it is exactly-once by construction (a torn round's files are
+        never published; its re-run publishes the rewrite once).
+
+        Idempotent and self-healing: every commit re-walks ALL raw deltas
+        the live manifest references and links any file not yet published
+        (covers a crash between flip and publish — the round surfaces on
+        the next store interaction, delayed but never wrong). Compacted
+        runs are skipped: they rewrite rows the stream already consumed.
+        Hardlinks cost no storage; ``tail_publish="copy"`` is the object-
+        store fallback, "off" disables the tree."""
+        if self.tail_publish == "off":
+            return
+        for log, key in self._TAIL_LOGS.items():
+            tail_dir = os.path.join(self.path, "tail", log)
+            for delta in m.get(key, []) or []:
+                if "_compacted_t" in delta:
+                    continue
+                src_dir = os.path.join(self.path, delta)
+                if not os.path.isdir(src_dir):
+                    continue  # raw delta already gc'd (past the tail horizon)
+                prefix = delta.replace("/", "_")
+                os.makedirs(tail_dir, exist_ok=True)
+                for fn in os.listdir(src_dir):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    dst = os.path.join(tail_dir, f"{prefix}__{fn}")
+                    if os.path.exists(dst):
+                        continue
+                    src = os.path.join(src_dir, fn)
+                    if self.tail_publish == "copy":
+                        shutil.copy2(src, dst)
+                    else:
+                        try:
+                            os.link(src, dst)
+                        except OSError:  # cross-device / no-hardlink fs
+                            shutil.copy2(src, dst)
+
+    def publish_tail(self) -> None:
+        """Heal the tail tree against the live manifest (e.g. before
+        starting a stream over a store whose last writer crashed between
+        the manifest flip and tail publication)."""
+        if self.exists():
+            self._publish_tail(self.manifest())
+
+    def _gc_tail(self, m: dict[str, Any]) -> int:
+        """Drop tail files whose source delta is no longer a raw manifest
+        reference (compacted away / unreferenced). The stream consumed them
+        long ago (live-consumption contract); hardlinked files occupy no
+        extra space, but pruning keeps the tail listing O(horizon)."""
+        removed = 0
+        live = {
+            d.replace("/", "_")
+            for key in self._TAIL_LOGS.values()
+            for d in (m.get(key, []) or [])
+            if "_compacted_t" not in d
+        }
+        for log in self._TAIL_LOGS:
+            tail_dir = os.path.join(self.path, "tail", log)
+            if not os.path.isdir(tail_dir):
+                continue
+            for fn in os.listdir(tail_dir):
+                if fn.rsplit("__", 1)[0] not in live:
+                    try:
+                        os.unlink(os.path.join(tail_dir, fn))
+                        removed += 1
+                    except OSError:
+                        pass
+        return removed
 
     def _referenced_paths(self, m: dict[str, Any]) -> set[str]:
         return (
@@ -449,10 +533,13 @@ class SnapshotStore:
                 if os.path.isdir(full) and not os.listdir(full):
                     os.rmdir(full)
 
+        tail_removed = self._gc_tail(m)
+
         return {
             "removed": removed,
             "kept": kept,
             "units_removed": units_removed,
+            "tail_removed": tail_removed,
             "bytes_freed": freed,
         }
 

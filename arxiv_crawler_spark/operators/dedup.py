@@ -182,7 +182,11 @@ def jaccard_pairs(
     ranking is unchanged. ``max_df=None`` disables the ceiling.
     """
     sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-    inv = sh.select("id", F.explode("sh").alias("g"))
+    # Per-doc set size rides ON the inverted-index rows (8 bytes/row) so the
+    # pair aggregation yields both sizes via first() — no join against a
+    # corpus-sized sizes table at all (a forced broadcast of |docs| rows
+    # was the old shape; at 10^9 docs that broadcast is multi-GB and fatal).
+    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
     if max_df is not None:
         wdf = Window.partitionBy("g")
         inv = (
@@ -190,20 +194,18 @@ def jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
-        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    else:
-        sizes = sh.select("id", F.size("sh").alias("n_sh"))
+        # sizes must reflect the df-filtered shingle space: recount in place
+        # with an id-partitioned window (one keyed shuffle, still no join)
+        inv = inv.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a, b = inv.alias("a"), inv.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common")),

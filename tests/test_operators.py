@@ -418,3 +418,118 @@ def test_ivf_pq_recall(spark, sf_dir):
         for r in KNN.ivf_pq_topk(queries, emb, k=5, n_cells=16, n_probe=4, dim=len(base[0])).collect()
     }
     assert again == {(q_, n_) for q_, ns in by_q.items() for n_ in ns}
+
+
+def test_recall_at_k_exact_counts(spark):
+    """recall_at_k over a hand-built truth/topk pair: known hit ranks →
+    exact recall fractions at every k, pairs missing from topk count
+    against the denominator (eval.py analog semantics)."""
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id int, relevant_id int",
+    )
+    topk = spark.createDataFrame(
+        # q1: 10 at rank 1, 11 at rank 7; q2: 20 at rank 4; 21 absent;
+        # q3: 30 absent entirely
+        [(1, 10, 1), (1, 11, 7), (2, 20, 4), (2, 99, 1)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    rows = {
+        r["k"]: r
+        for r in KNN.recall_at_k(truth, topk, ks=(1, 5, 10)).collect()
+    }
+    assert rows[1]["n_pairs"] == 5 and rows[1]["n_queries"] == 3
+    assert rows[1]["hits"] == 1 and abs(rows[1]["recall"] - 0.2) < 1e-9
+    assert rows[5]["hits"] == 2 and abs(rows[5]["recall"] - 0.4) < 1e-9
+    assert rows[10]["hits"] == 3 and abs(rows[10]["recall"] - 0.6) < 1e-9
+
+
+def test_recall_at_k_ann_vs_exact(spark, sf_dir):
+    """Evaluating an ANN index through the same harness: exact top-k recall
+    is an upper bound, and LSH multi-probe stays within its tested recall
+    band — the eval operator works for any topk-shaped input."""
+    from arxiv_crawler_spark.plans.analytics import load
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = KNN.brute_force_topk(queries, emb, k=5)
+    truth = exact.filter(F.col("rank") <= 3).select(
+        "query_id", F.col("neighbor_id").alias("relevant_id")
+    )
+    r_exact = {r["k"]: r["recall"] for r in KNN.recall_at_k(truth, exact, ks=(5,)).collect()}
+    assert r_exact[5] == 1.0  # truth drawn from exact top-3 ⊂ top-5
+    ann = KNN.lsh_topk(queries, emb, k=5)
+    r_ann = {r["k"]: r["recall"] for r in KNN.recall_at_k(truth, ann, ks=(5,)).collect()}
+    assert r_ann[5] >= 0.6
+
+
+def test_ann_build_once_search_many(spark, sf_dir, monkeypatch):
+    """The FAISS-shaped split: *_build trains the quantizer and encodes the
+    corpus exactly once; repeated *_search calls over the prebuilt index do
+    no training and no corpus.count() (round-4 verdict #3). Counted by
+    instrumenting the k-means trainers and the sampled collect."""
+    from arxiv_crawler_spark.operators import knn as knn_mod
+    from arxiv_crawler_spark.plans.analytics import load
+
+    calls = {"kmeans": 0, "sample": 0}
+    real_km, real_km_l2, real_sample = (
+        knn_mod._lloyd_kmeans,
+        knn_mod._lloyd_kmeans_l2,
+        knn_mod._train_sample,
+    )
+    monkeypatch.setattr(
+        knn_mod, "_lloyd_kmeans",
+        lambda *a, **k: (calls.__setitem__("kmeans", calls["kmeans"] + 1), real_km(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        knn_mod, "_lloyd_kmeans_l2",
+        lambda *a, **k: (calls.__setitem__("kmeans", calls["kmeans"] + 1), real_km_l2(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        knn_mod, "_train_sample",
+        lambda *a, **k: (calls.__setitem__("sample", calls["sample"] + 1), real_sample(*a, **k))[1],
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ix = knn_mod.ivfpq_build(emb, n_cells=8, m=8)
+    after_build = dict(calls)
+    assert after_build["sample"] == 1  # one bounded sample, one count
+
+    q1 = knn_mod.ivfpq_search(ix, emb.filter(F.col("vec_id") < 5), k=3, n_probe=4)
+    q2 = knn_mod.ivfpq_search(ix, emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)), k=3, n_probe=4)
+    r1, r2 = q1.collect(), q2.collect()
+    assert len(r1) and len(r2)
+    # searches trained nothing and sampled nothing
+    assert calls == after_build
+
+    # split path ≡ one-shot wrapper on the same inputs
+    ix.unpersist()
+    wrapper = knn_mod.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=3, n_cells=8, n_probe=4, m=8
+    ).collect()
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in r1) == \
+        sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in wrapper)
+
+
+def test_encode_texts_real_backend_roundtrip(spark):
+    """The documented REAL encoder path, executed wherever the dependency
+    exists (skips in this sandbox): same mapInPandas plumbing as the stub,
+    but vectors come from sentence_transformers.encode with
+    normalize_embeddings=True — assert unit norms, determinism across two
+    runs, and model-defined dimensionality."""
+    pytest.importorskip("sentence_transformers")
+    from arxiv_crawler_spark.operators.encoder import encode_texts
+
+    df = spark.createDataFrame(
+        [(1, "minhash lsh dedup"), (2, "citation graph pagerank"), (3, "")],
+        "doc_id long, text string",
+    )
+    model = "sentence-transformers/all-MiniLM-L6-v2"
+    out1 = {r["doc_id"]: r["embedding"] for r in encode_texts(df, model=model).collect()}
+    out2 = {r["doc_id"]: r["embedding"] for r in encode_texts(df, model=model).collect()}
+    assert set(out1) == {1, 2, 3}
+    for k, v in out1.items():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3  # normalized
+        assert v == out2[k]  # deterministic
+    dims = {len(v) for v in out1.values()}
+    assert len(dims) == 1 and dims.pop() >= 128  # model-defined dim, not the stub's 64

@@ -105,3 +105,26 @@ def test_lsh_near_pairs_dedup_shuffle_carries_no_vectors(spark, sf_dir):
     for b in dedup_exchanges:
         in_line = next(ln for ln in b.splitlines() if ln.startswith("Input"))
         assert "v#" not in in_line and "embedding" not in in_line, b
+
+
+def test_jaccard_pairs_no_corpus_broadcast(spark, sf_dir):
+    """The pair plan must not broadcast any corpus-derived side: the old
+    shape broadcast a per-document sizes table (O(|docs|) rows — multi-GB
+    at 10^9 docs); sizes now ride on the inverted-index rows and come out
+    of the pair groupBy via first(). The only joins allowed are the
+    inverted-index self-join, shuffled on the shingle key. A size-based
+    broadcast Catalyst picks on tiny test inputs is fine — so the assert
+    runs with auto-broadcast disabled, where only a *forced* hint could
+    still produce a BroadcastExchange."""
+    from arxiv_crawler_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents").limit(300)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = jaccard_pairs(docs, id_col="doc_id", text_col="text")
+        p = plan_of(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p  # the g-key self-join

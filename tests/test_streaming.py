@@ -267,3 +267,64 @@ def test_store_tail_stream_equals_batch(spark, tmp_path_factory):
     q2.awaitTermination(120)
     n_stream = spark.sql("select count(*) c from tail_fetched").collect()[0]["c"]
     assert n_stream == eng.store.fetched().count()
+
+
+def test_store_tail_torn_commit_invisible(spark, tmp_path_factory):
+    """Exactly-once under torn commits: data files land before the manifest
+    flip, but tail publication happens strictly after it — a round whose
+    manifest never flipped must be invisible to the stream, and its later
+    proper commit must surface exactly once."""
+    import os
+    import tempfile
+
+    from arxiv_crawler_spark.crawl.store import SnapshotStore
+
+    path = str(tmp_path_factory.mktemp("torn_store"))
+    store = SnapshotStore(path, spark, n_buckets=4)
+
+    def delta(lo, hi, rnd):
+        return spark.range(lo, hi).selectExpr(
+            "id as url_hash",
+            "concat('u', id) as url",
+            "'processed' as status",
+            f"{rnd} as round",
+        )
+
+    frontier = spark.range(0).selectExpr(
+        "id as url_hash", "cast(null as string) as url", "cast(null as string) as host",
+        "id as count", "cast(0 as int) as depth", "id as discovery_seq",
+    )
+    store.commit(1, frontier_changed=frontier, changed_buckets=None,
+                 seen_delta=None, fetched_delta=delta(0, 10, 1),
+                 meta={"processed_count": 10, "failed_count": 0,
+                       "total_pops": 10, "frontier_size": 0})
+
+    # torn round 2: data dir written, manifest never flipped
+    torn_dir = os.path.join(path, "snapshots", "r000002", "fetched")
+    delta(10, 25, 2).coalesce(1).write.parquet(torn_dir)
+
+    from arxiv_crawler_spark.streaming.tail import stream_log
+
+    def drain(qname):
+        q = (
+            stream_log(spark, path, "fetched")
+            .writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="torn_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["url_hash"] for r in spark.sql(f"select url_hash from {qname}").collect()}
+
+    got = drain("torn_t1")
+    assert got == set(range(10))  # torn round invisible
+
+    # proper commit of round 2 (clobbers the torn dir, publishes post-flip)
+    store.commit(2, frontier_changed=None, changed_buckets=None,
+                 seen_delta=None, fetched_delta=delta(10, 25, 2),
+                 meta={"processed_count": 25, "failed_count": 0,
+                       "total_pops": 25, "frontier_size": 0})
+    got2 = drain("torn_t2")
+    assert got2 == set(range(25))  # surfaces exactly once
+    n = spark.sql("select count(*) c from torn_t2").collect()[0]["c"]
+    assert n == 25
