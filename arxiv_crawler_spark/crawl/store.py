@@ -193,6 +193,11 @@ class SnapshotStore:
         snap = f"snapshots/r{round_no:06d}{tag}"
         snap_abs = os.path.join(self.path, snap)
         prev = self.manifest() if self.exists() else None
+        if prev is not None:
+            # heal the tail against the flipped manifest BEFORE this commit
+            # can fold/clobber anything: covers a prior crash between the
+            # flip and its tail publication (see _publish_tail)
+            self._publish_tail(prev)
         if prev is not None and self.is_referenced(snap, prev):
             raise ValueError(f"refusing to overwrite live snapshot {snap}; pass a tag")
         if os.path.exists(snap_abs):
@@ -360,46 +365,63 @@ class SnapshotStore:
     # ------------------------------------------------------------- tail
     _TAIL_LOGS = {"fetched": "fetched_deltas", "edges": "edges_deltas", "seen": "seen_deltas"}
 
+    # log subdir name inside a snapshot dir, per tail log
+    _TAIL_SUBDIRS = {"fetched": "fetched", "edges": "edges", "seen": "seen_delta"}
+
     def _publish_tail(self, m: dict[str, Any]) -> None:
         """Publish committed round deltas into ``tail/<log>/`` for the
-        streaming tail (streaming/tail.py) — AFTER the manifest flip, so
-        the tail tree contains only committed data and a ``readStream``
-        over it is exactly-once by construction (a torn round's files are
-        never published; its re-run publishes the rewrite once).
+        streaming tail (streaming/tail.py) — only ever called with a
+        FLIPPED manifest, so the tail tree contains only committed data
+        and a ``readStream`` over it is exactly-once by construction (a
+        torn round's files are never published; its re-run publishes the
+        rewrite once).
 
-        Idempotent and self-healing: every commit re-walks ALL raw deltas
-        the live manifest references and links any file not yet published
-        (covers a crash between flip and publish — the round surfaces on
-        the next store interaction, delayed but never wrong). Compacted
-        runs are skipped: they rewrite rows the stream already consumed.
-        Hardlinks cost no storage; ``tail_publish="copy"`` is the object-
-        store fallback, "off" disables the tree."""
+        Two publication sources, both idempotent (exists-check per file):
+
+        1. every raw delta the manifest references (compacted runs are
+           skipped — they rewrite rows the stream already consumed);
+        2. the manifest's OWN snapshot's log subdirs, unconditionally —
+           a round whose delta is tier-folded in its own commit is raw in
+           NO manifest, yet it is committed data (the flip happened), so
+           listing alone would silently drop every (T+1)-th round from
+           the tail.
+
+        Self-healing: commit() also runs this against the PREVIOUS
+        manifest before writing anything, so a crash between a flip and
+        its publication is repaired on the next store interaction —
+        delayed, never wrong. Hardlinks cost no storage;
+        ``tail_publish="copy"`` is the object-store fallback, "off"
+        disables the tree."""
         if self.tail_publish == "off":
             return
-        for log, key in self._TAIL_LOGS.items():
+
+        def link_dir(log: str, delta: str) -> None:
+            src_dir = os.path.join(self.path, delta)
+            if not os.path.isdir(src_dir):
+                return  # raw delta already gc'd (past the tail horizon)
             tail_dir = os.path.join(self.path, "tail", log)
-            for delta in m.get(key, []) or []:
-                if "_compacted_t" in delta:
+            prefix = delta.replace("/", "_")
+            os.makedirs(tail_dir, exist_ok=True)
+            for fn in os.listdir(src_dir):
+                if not fn.endswith(".parquet"):
                     continue
-                src_dir = os.path.join(self.path, delta)
-                if not os.path.isdir(src_dir):
-                    continue  # raw delta already gc'd (past the tail horizon)
-                prefix = delta.replace("/", "_")
-                os.makedirs(tail_dir, exist_ok=True)
-                for fn in os.listdir(src_dir):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    dst = os.path.join(tail_dir, f"{prefix}__{fn}")
-                    if os.path.exists(dst):
-                        continue
-                    src = os.path.join(src_dir, fn)
-                    if self.tail_publish == "copy":
+                dst = os.path.join(tail_dir, f"{prefix}__{fn}")
+                if os.path.exists(dst):
+                    continue
+                src = os.path.join(src_dir, fn)
+                if self.tail_publish == "copy":
+                    shutil.copy2(src, dst)
+                else:
+                    try:
+                        os.link(src, dst)
+                    except OSError:  # cross-device / no-hardlink fs
                         shutil.copy2(src, dst)
-                    else:
-                        try:
-                            os.link(src, dst)
-                        except OSError:  # cross-device / no-hardlink fs
-                            shutil.copy2(src, dst)
+
+        for log, key in self._TAIL_LOGS.items():
+            for delta in m.get(key, []) or []:
+                if "_compacted_t" not in delta:
+                    link_dir(log, delta)
+            link_dir(log, f"{m['snapshot']}/{self._TAIL_SUBDIRS[log]}")
 
     def publish_tail(self) -> None:
         """Heal the tail tree against the live manifest (e.g. before
@@ -419,6 +441,13 @@ class SnapshotStore:
             for key in self._TAIL_LOGS.values()
             for d in (m.get(key, []) or [])
             if "_compacted_t" not in d
+        }
+        # the current snapshot's own publications are always live (they may
+        # be raw in no manifest when folded in their own commit — see
+        # _publish_tail source 2)
+        live |= {
+            f"{m['snapshot']}/{sub}".replace("/", "_")
+            for sub in self._TAIL_SUBDIRS.values()
         }
         for log in self._TAIL_LOGS:
             tail_dir = os.path.join(self.path, "tail", log)

@@ -194,6 +194,10 @@ HEADLINE = [
     "q27_knn_cosine",
     "q31_sessionize",
     "q32_tumbling_window",
+    # round-5 additions: iterative join-agg and the retrieval-eval composite
+    # (9 original entries kept unchanged for cross-round comparability)
+    "q49_pagerank",
+    "q70_eval_recall",
 ]
 
 

@@ -39,11 +39,18 @@ from arxiv_crawler_spark.session import get_spark  # noqa: E402
 N_HOSTS = 64
 
 
-def synth_frontier(spark, n: int, seq0: int = 0):
+def synth_frontier(spark, n: int, seq0: int = 0, skew: bool = True):
     """n-row frontier with host skew (zipf-ish: host = id % 64 biased so
     host 0 holds ~20% of rows — the mega-bucket shape) and a long-tailed
-    count distribution (the histogram's exact+log2 bins both populated)."""
-    host_no = F.when(F.col("id") % 5 == 0, F.lit(0)).otherwise(F.col("id") % N_HOSTS)
+    count distribution (the histogram's exact+log2 bins both populated).
+    ``skew=False`` → uniform hosts (round replenishment: drain is ~budget
+    per host, i.e. uniform, so uniform refill keeps the soak steady-state
+    instead of silently starving the small hosts)."""
+    host_no = (
+        F.when(F.col("id") % 5 == 0, F.lit(0)).otherwise(F.col("id") % N_HOSTS)
+        if skew
+        else F.col("id") % N_HOSTS
+    )
     return spark.range(n).select(
         F.xxhash64(F.col("id") + F.lit(seq0)).alias("url_hash"),
         F.concat(F.lit("https://m"), host_no, F.lit(".x/"), F.col("id") + F.lit(seq0)).alias("url"),
@@ -64,10 +71,10 @@ def main() -> None:
     spark = get_spark(app_name="arxiv-crawler-spark-wave-soak")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # binding budgets: Σ budgets ≈ 1.15·wave over 64 hosts, so the hot host
+    # binding budgets: Σ budgets = wave over 64 hosts, so the hot host
     # (≈20% of the frontier) is budget-capped every round and the salted
     # two-level window + mega-bucket sub-split are both on the hot path
-    per_host = int(wave_cap * 1.15 / N_HOSTS)
+    per_host = wave_cap // N_HOSTS
     budgets = spark.createDataFrame(
         [(f"m{k}.x", per_host) for k in range(N_HOSTS)], "host string, budget long"
     )
@@ -125,7 +132,9 @@ def main() -> None:
         # bumps on survivors) + fresh URLs (~5% of wave) — the COW touch
         # pattern without the store
         survivors = frontier.join(wave.select("url_hash"), "url_hash", "left_anti")
-        fresh = synth_frontier(spark, int(agg["n"]), seq0=seq_next)  # steady state
+        # refill what the wave drained, uniformly over hosts (the drain is
+        # ≈budget per host) — true steady state, no silent host starvation
+        fresh = synth_frontier(spark, int(agg["n"]), seq0=seq_next, skew=False)
         seq_next += int(agg["n"])
         nxt = (
             survivors.withColumn(

@@ -533,3 +533,30 @@ def test_encode_texts_real_backend_roundtrip(spark):
         assert v == out2[k]  # deterministic
     dims = {len(v) for v in out1.values()}
     assert len(dims) == 1 and dims.pop() >= 128  # model-defined dim, not the stub's 64
+
+
+def test_ann_index_save_load_roundtrip(spark, sf_dir, tmp_path_factory):
+    """Persisted-index reuse across jobs (FAISS write_index/read_index):
+    save a built IVFPQ index, load it fresh, search — identical results to
+    the in-memory index, with the cell partitioning preserved on disk."""
+    import os
+
+    from arxiv_crawler_spark.plans.analytics import load
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ix = KNN.ivfpq_build(emb, n_cells=8, m=8, persist=False)
+    path = str(tmp_path_factory.mktemp("ann_ix"))
+    KNN.save_index(ix, path)
+    assert any(d.startswith("cell=") for d in os.listdir(path + "/index"))
+
+    ix2 = KNN.load_index(spark, path, corpus=emb)
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in KNN.ivfpq_search(ix2, q, k=3, n_probe=4).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in KNN.ivfpq_search(ix, q, k=3, n_probe=4).collect()
+    )
+    assert got == want and len(got) > 0

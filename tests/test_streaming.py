@@ -328,3 +328,68 @@ def test_store_tail_torn_commit_invisible(spark, tmp_path_factory):
     assert got2 == set(range(25))  # surfaces exactly once
     n = spark.sql("select count(*) c from torn_t2").collect()[0]["c"]
     assert n == 25
+
+
+def test_tail_gc_prunes_compacted_rounds(spark, tmp_path_factory):
+    """Once tier compaction folds raw round deltas out of the manifest,
+    gc() must prune their tail publications (the stream consumed them long
+    ago — the tail listing stays O(horizon)) while the batch view and the
+    live rounds' tail files survive."""
+    import os
+
+    from arxiv_crawler_spark.crawl.store import SnapshotStore
+
+    path = str(tmp_path_factory.mktemp("tailgc_store"))
+    store = SnapshotStore(path, spark, n_buckets=4, compact_seen_after=2)
+
+    def delta(lo, hi, rnd):
+        return spark.range(lo, hi).selectExpr(
+            "id as url_hash", "concat('u', id) as url",
+            "'processed' as status", f"{rnd} as round", "id as global_order",
+        )
+
+    n_rounds = 7  # tier T=2 → folds trigger well within 7 commits
+    for r in range(1, n_rounds + 1):
+        store.commit(r, frontier_changed=None, changed_buckets=None,
+                     seen_delta=None, fetched_delta=delta((r - 1) * 10, r * 10, r),
+                     meta={"processed_count": r * 10, "failed_count": 0,
+                           "total_pops": r * 10, "frontier_size": 0})
+
+    m = store.manifest()
+    raw = [d for d in m["fetched_deltas"] if "_compacted_t" not in d]
+    assert len(raw) < n_rounds  # compaction actually folded some rounds
+
+    tail_dir = os.path.join(path, "tail", "fetched")
+    prefixes_before = {f.rsplit("__", 1)[0] for f in os.listdir(tail_dir)}
+    # EVERY round published — including rounds whose delta was tier-folded
+    # in its own commit (raw in no manifest; the own-snapshot publication
+    # rule covers them, else every (T+1)-th round would vanish from the tail)
+    assert len(prefixes_before) == n_rounds
+
+    import tempfile
+
+    from arxiv_crawler_spark.streaming.tail import stream_log
+
+    q = (
+        stream_log(spark, path, "fetched")
+        .writeStream.format("memory").queryName("tailgc_all")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tailgc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = {r["url_hash"] for r in spark.sql("select url_hash from tailgc_all").collect()}
+    assert seen == set(range(n_rounds * 10))  # no fold-round gaps, no dups
+    assert spark.sql("select count(*) c from tailgc_all").collect()[0]["c"] == n_rounds * 10
+
+    g = store.gc()
+    assert g["tail_removed"] > 0
+    prefixes_after = {f.rsplit("__", 1)[0] for f in os.listdir(tail_dir)}
+    # survivors: manifest raw deltas + the current snapshot's own
+    # publication (live even when folded in its own commit)
+    want = {d.replace("/", "_") for d in raw} | {
+        m["snapshot"].replace("/", "_") + "_fetched"
+    }
+    assert prefixes_after == want
+    # batch view unaffected: all 70 rows still readable via the manifest
+    assert store.fetched().count() == n_rounds * 10
