@@ -37,6 +37,7 @@ __all__ = [
     "hamming32",
     "simhash_near_pairs",
     "simhash64_near_pairs",
+    "decontaminate",
 ]
 
 
@@ -371,4 +372,55 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         )
         .filter(F.col("dist") <= max_dist)
         .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ ``min_hits``
+    distinct word n-grams with any benchmark/eval doc —
+    (doc_id, n_hit_grams, n_bench_docs), contaminated rows only.
+
+    The standard pre-training hygiene pass (GPT-3 App. C / PaLM / Llama
+    n-gram-overlap decontamination): eval-set n-grams must not leak into
+    the training corpus. The reference has no analog (it crawls, it does
+    not curate); this composes with ``exact_dedup``/``lsh_candidate_pairs``
+    as the last curation gate.
+
+    Scale shape: the benchmark side is an eval suite — bounded (10^4-10^6
+    grams) by construction, NOT corpus-sized — so its distinct gram set is
+    genuinely broadcastable and the corpus side streams map-side through
+    the join with zero shuffle of the 100-TB side. Set
+    ``broadcast_benchmark=False`` to let AQE/Catalyst pick (the safe
+    fallback if the "benchmark" is itself large); the groupBy then
+    shuffles only the surviving hit rows, ∝ contamination rate, not corpus
+    size.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("g"),
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    return (
+        doc_grams.join(bench_grams, "g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_hit_grams") >= min_hits)
     )

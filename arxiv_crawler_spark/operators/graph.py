@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "connected_components"]
 
 
 def pagerank(
@@ -67,3 +67,107 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(node_col, F.col("_r").alias("pagerank"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node attaches its strictly-larger neighbors
+    to the minimum of its neighborhood (including itself)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("_mn")).alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small, then every node attaches
+    its smaller-or-equal neighborhood (and itself) to that neighborhood's
+    minimum."""
+    oriented = (
+        e.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("_mn"))
+    return (
+        oriented.join(mins, "u")
+        .where(F.col("v") != F.col("_mn"))
+        .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+        .union(mins.select(F.col("u"), F.col("_mn").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label each node with the minimum node id of its connected component:
+    (node, cluster_id).
+
+    The duplicate-clustering tail of a near-dup pipeline: candidate pairs
+    from MinHash-LSH / SimHash banding (operators/dedup.py) form an
+    undirected graph whose connected components are the duplicate clusters;
+    one keeper per cluster (the min id) survives curation. The reference
+    has no distributed analog (its dedupe is the crawler's per-URL seen
+    set, crawler.py:160-170); this is the standard web-corpus shape
+    (CCNet / RefinedWeb dedup stages).
+
+    Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+    and Beyond", SoCC'14), which converges in O(log^2 n) rounds (observed
+    ~log n) regardless of component diameter — min-label propagation would
+    need diameter rounds, fatal on 10^8-node near-dup chains.
+
+    100-TB plan shape: each round is one groupBy(node) shuffle plus one
+    co-partitioned join on the same key; the edge set shrinks monotonically
+    toward the star graph, so later rounds are cheap; high-degree nodes are
+    safe because large-star moves big neighbor lists onto their component
+    min instead of materializing pair products. Convergence is detected
+    with scalar aggregates only (count + order-insensitive xxhash64 sum) —
+    no row data ever reaches the driver; ``localCheckpoint`` per round
+    bounds lineage exactly like ``pagerank``.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: order-insensitive and overflow-proof under ANSI
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(28,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
+    # converged star edges point (member -> root); roots map to themselves
+    membership = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("cluster_id"))
+    return (
+        nodes.join(membership, "node", "left")
+        .select(
+            F.col("node"),
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
+    )

@@ -2133,6 +2133,78 @@ order by k
 """
 
 
+def q71_components(spark, sf):
+    """Duplicate-cluster labeling: connected components (large-star /
+    small-star, operators/graph.py) over a multi-hop link graph —
+    (node, cluster_id, cluster_size). The graph mixes 5-node chains
+    (diameter 4) with long-range bridge edges so convergence genuinely
+    needs multiple star rounds — min-label SQL propagation is the oracle
+    (recursive CTE). Production input is the near-dup pair stream
+    (lsh_candidate_pairs / simhash near pairs — composition covered in
+    tests/test_operators.py)."""
+    from arxiv_crawler_spark.operators.graph import connected_components
+
+    docs = load(spark, sf, "documents")
+    chain = docs.filter(F.col("doc_id") % 10 < 4).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    bridges = docs.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 100).alias("dst")
+    )
+    cc = connected_components(chain.union(bridges))
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "node", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
+_SQL_Q71 = """
+with recursive
+base as (
+  select doc_id as src, doc_id + 1 as dst from documents where doc_id % 10 < 4
+  union all
+  select doc_id, doc_id + 100 from documents where doc_id % 100 = 7),
+e as (select src as u, dst as v from base union select dst, src from base),
+nodes as (select distinct u as node from e),
+reach (node, r) as (
+  select node, node from nodes
+  union
+  select e.u, reach.r from e join reach on reach.node = e.v),
+lab as (select node, min(r) as cluster_id from reach group by node)
+select node, cluster_id, count(*) over (partition by cluster_id) as cluster_size
+from lab
+"""
+
+
+def q72_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/dedup.py): flag training docs
+    sharing ≥1 word 3-gram with the held-out "benchmark" slice
+    (doc_id % 50 == 0) — (doc_id, n_hit_grams, n_bench_docs). The
+    benchmark gram set broadcasts (eval suites are bounded); the corpus
+    side streams map-side through the join."""
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return DD.decontaminate(train, bench, n=3, min_hits=1)
+
+
+_SQL_Q72 = f"""
+with b_toks as (
+  select doc_id as bench_id, {_SQL_TOKS} as toks from documents where doc_id % 50 = 0),
+b_sh as (select bench_id, {_sql_shingles(3)} as sh from b_toks),
+bg as (select distinct bench_id, unnest(sh) as g from b_sh),
+t_toks as (
+  select doc_id, {_SQL_TOKS} as toks from documents where doc_id % 50 <> 0),
+t_sh as (select doc_id, {_sql_shingles(3)} as sh from t_toks),
+tg as (select doc_id, unnest(sh) as g from t_sh)
+select tg.doc_id, count(distinct tg.g) as n_hit_grams,
+       count(distinct bg.bench_id) as n_bench_docs
+from tg join bg on tg.g = bg.g
+group by tg.doc_id
+having count(distinct tg.g) >= 1
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
 # precede every rows-only one (round-4 verdict item 1). 61 entries carry a
@@ -2195,6 +2267,8 @@ SPARK_QUERIES = {
     "q48_curation_pipeline": q48_curation_pipeline,
     "q49_pagerank": q49_pagerank,
     # -- oracle-backed, past the window (verified by check_oracle.py) ----
+    "q71_components": q71_components,
+    "q72_decontaminate": q72_decontaminate,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -2268,6 +2342,8 @@ ORACLE_SQL = {
     "q44_paginate_cited_by": _SQL_Q44,
     "q46_metadata_search": _SQL_Q46,
     "q70_eval_recall": _SQL_Q70,
+    "q71_components": _SQL_Q71,
+    "q72_decontaminate": _SQL_Q72,
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),

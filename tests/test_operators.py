@@ -560,3 +560,100 @@ def test_ann_index_save_load_roundtrip(spark, sf_dir, tmp_path_factory):
         for r in KNN.ivfpq_search(ix, q, k=3, n_probe=4).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_connected_components_designed_graph(spark):
+    """Chain (diameter 4), triangle, 2-node edge, bridge-merged pair —
+    exact cluster labels vs hand computation."""
+    from arxiv_crawler_spark.operators.graph import connected_components
+
+    E = [
+        (10, 11), (11, 12), (12, 13), (13, 14),   # chain → cluster 10
+        (20, 21), (21, 22), (22, 20),             # triangle → cluster 20
+        (30, 31),                                 # pair → cluster 30
+        (40, 41), (50, 51), (41, 50),             # bridged → cluster 40
+        (60, 60),                                 # self-loop only → dropped
+    ]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    want = {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+            20: 20, 21: 20, 22: 20,
+            30: 30, 31: 30,
+            40: 40, 41: 40, 50: 40, 51: 40}
+    assert got == want
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Random sparse graph vs a pure-Python union-find oracle."""
+    import random
+
+    from arxiv_crawler_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    n = 400
+    E = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    E = [(a, b) for a, b in E if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in E:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in E for x in e}
+    want = {x: find(x) for x in touched}
+    # union-find roots are not necessarily component minima; normalize
+    by_root: dict[int, int] = {}
+    for x, r in want.items():
+        by_root[r] = min(by_root.get(r, x), x)
+    want = {x: by_root[r] for x, r in want.items()}
+
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == want
+
+
+def test_connected_components_over_lsh_pairs(docs):
+    """Composition: LSH candidate pairs → duplicate clusters. Docs 0/1/2
+    are mutual near-dups (one cluster keyed by 0); 3 and 4 share nothing."""
+    from arxiv_crawler_spark.operators.graph import connected_components
+
+    pairs = DD.lsh_candidate_pairs(docs, k=8, bands=4)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert 3 not in got and 4 not in got
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Doc sharing a benchmark 3-gram is flagged with exact gram/doc
+    counts; clean docs and the min_hits gate both respected."""
+    bench = spark.createDataFrame(
+        [(1000, "the capital of france is paris"),
+         (1001, "water boils at one hundred degrees")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [(1, "he said the capital of france is paris obviously"),   # 4 shared 3-grams w/ 1000
+         (2, "water boils at altitude lower than usual"),           # 1 shared w/ 1001
+         (3, "entirely clean document about spark plans")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in DD.decontaminate(train, bench, n=3).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_hit_grams"] == 4 and out[1]["n_bench_docs"] == 1
+    assert out[2]["n_hit_grams"] == 1 and out[2]["n_bench_docs"] == 1
+    strict = DD.decontaminate(train, bench, n=3, min_hits=2).collect()
+    assert {r["doc_id"] for r in strict} == {1}
+    # non-broadcast fallback is semantically identical
+    nb = {r["doc_id"]: r["n_hit_grams"]
+          for r in DD.decontaminate(train, bench, n=3, broadcast_benchmark=False).collect()}
+    assert nb == {1: 4, 2: 1}
