@@ -1,0 +1,172 @@
+"""Keyword search over the crawled corpus: BM25 ranking and Gopher-style
+repetition/quality signals.
+
+The reference's search surface is substring metadata search plus FAISS
+vector retrieval (arxiv_search/src/arxiv_search/app.py:61-75); BM25 is the
+standard lexical complement a web-corpus engine needs (and the usual
+hybrid-retrieval partner of operators/knn.py). Repetition signals are the
+MassiveText/Gopher curation filters (Rae et al. 2021, table A1) — the gate
+that runs BEFORE dedup in a 100-TB webtext pipeline.
+
+Scale shape (BM25): the corpus pass is restricted to the query's terms
+BEFORE any aggregation — `array_intersect` keeps only matching tokens, so
+the exploded term-frequency table is O(matching docs × |query|), never
+O(corpus tokens); document length stats are one scalar aggregate; the tiny
+per-term df table and the 1-row stats both broadcast into the scoring
+join. Nothing corpus-sized ever shuffles.
+
+Scale shape (repetition): one explode + groupBy(doc, gram) count — the
+same inverted-index shuffle as dedup shingling; per-doc reduction is a
+keyed aggregate, all JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.functions.text import tokens
+
+__all__ = ["bm25_topk", "repetition_signals"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k: (doc_id, score, n_hit_terms), ordered
+    (score desc, doc_id asc), limit k.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    tf term = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)), dl in whitespace
+    tokens. Deterministic (exact counts, fixed tie order) so DuckDB can
+    mirror it bit-for-bit.
+    """
+    qt = F.array(*[F.lit(t) for t in query_terms])
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        F.array_intersect(F.col("_toks"), qt).alias("_q_present"),
+        # per-query-term counts BEFORE exploding: |docs|×|query| rows max
+        F.filter(F.col("_toks"), lambda t: F.array_contains(qt, t)).alias("_hits"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.size("_hits") > 0)
+        .select(id_col, "dl", F.explode("_hits").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("_s"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def repetition_signals(
+    df: DataFrame,
+    n_top: int = 2,
+    n_dup: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher/MassiveText repetition filters, exactly specified:
+    (doc_id, top_ngram_char_frac, dup_ngram_char_frac, dup_line_frac).
+
+    * top_ngram_char_frac — occurrences of the most frequent word
+      ``n_top``-gram (ties: lexicographically smallest gram) × gram char
+      length / len(text).
+    * dup_ngram_char_frac — Σ over word ``n_dup``-grams occurring ≥2 times
+      of occurrences × gram char length / len(text).
+    * dup_line_frac — 1 - distinct/total over split(text, '\\n').
+
+    Docs too short for an n-gram score 0.0 on that signal.
+    """
+
+    def grams(c, n):
+        t = tokens(c)
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_len"),
+        grams(F.col(text_col), n_top).alias("_g_top"),
+        grams(F.col(text_col), n_dup).alias("_g_dup"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+
+    def _gram_stats(col: str, top: bool) -> DataFrame:
+        counts = (
+            base.select(id_col, F.explode(col).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if top:
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("cnt").desc(), F.col("g").asc()
+            )
+            return (
+                counts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    id_col, (F.col("cnt") * F.length("g")).alias("_top_chars")
+                )
+            )
+        return (
+            counts.filter(F.col("cnt") >= 2)
+            .groupBy(id_col)
+            .agg(F.sum(F.col("cnt") * F.length("g")).alias("_dup_chars"))
+        )
+
+    return (
+        base.join(_gram_stats("_g_top", top=True), id_col, "left")
+        .join(_gram_stats("_g_dup", top=False), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.coalesce(F.col("_top_chars"), F.lit(0)) / F.col("_len"), 6
+            ).alias("top_ngram_char_frac"),
+            F.round(
+                F.coalesce(F.col("_dup_chars"), F.lit(0)) / F.col("_len"), 6
+            ).alias("dup_ngram_char_frac"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("_lines"))
+                / F.size("_lines").cast("double"),
+                6,
+            ).alias("dup_line_frac"),
+        )
+    )

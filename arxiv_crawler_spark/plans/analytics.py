@@ -2205,6 +2205,86 @@ having count(distinct tg.g) >= 1
 """
 
 
+def q73_bm25_search(spark, sf):
+    """Okapi BM25 lexical top-20 (operators/search.py) for a fixed 4-term
+    query — the keyword complement of q42's vector retrieval. Exact tf/df
+    counts and a fixed (score desc, doc_id asc) tie order make it fully
+    deterministic; the oracle restates the same formula in SQL."""
+    from arxiv_crawler_spark.operators.search import bm25_topk
+
+    docs = load(spark, sf, "documents")
+    return bm25_topk(docs, ["spark", "hash", "join", "customer"], k=20)
+
+
+_SQL_Q73 = f"""
+with toks_t as (select doc_id, {_SQL_TOKS} as toks from documents),
+base as (
+  select doc_id, len(toks) as dl,
+         list_filter(toks, t -> list_contains(['spark','hash','join','customer'], t)) as hits
+  from toks_t),
+stats as (select count(*) as n_docs, avg(dl) as avgdl from base),
+hit_rows as (
+  select doc_id, dl, unnest(hits) as term from base where len(hits) > 0),
+tf as (
+  select doc_id, term, count(*) as tf, first(dl) as dl
+  from hit_rows group by 1, 2),
+df_t as (select term, count(*) as df from tf group by 1),
+scored as (
+  select tf.doc_id,
+         ln(1 + (s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+         * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) as sc
+  from tf join df_t using (term) cross join stats s)
+select doc_id, round(sum(sc), 6) as score, count(*) as n_hit_terms
+from scored group by 1
+order by score desc, doc_id asc limit 20
+"""
+
+
+def q74_repetition_signals(spark, sf):
+    """Gopher/MassiveText repetition filters (operators/search.py): top
+    2-gram char fraction, duplicate 3-gram char fraction, duplicate line
+    fraction — the pre-dedup curation gate, per document."""
+    from arxiv_crawler_spark.operators.search import repetition_signals
+
+    return repetition_signals(load(spark, sf, "documents"), n_top=2, n_dup=3)
+
+
+def _sql_q74() -> str:
+    def grams(n: int) -> str:
+        return (
+            f"case when len(toks) >= {n} then "
+            f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+            f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+            "else [] end"
+        )
+
+    return f"""
+with toks_t as (
+  select doc_id, {_SQL_TOKS} as toks, length(text) as _len,
+         string_split(text, chr(10)) as lines
+  from documents),
+gt as (select doc_id, {grams(2)} as g from toks_t),
+gd as (select doc_id, {grams(3)} as g from toks_t),
+ct as (select doc_id, g2 as g, count(*) as cnt
+       from (select doc_id, unnest(g) as g2 from gt) group by 1, 2),
+top as (select doc_id, cnt * length(g) as top_chars from (
+          select doc_id, g, cnt,
+                 row_number() over (partition by doc_id order by cnt desc, g asc) as rn
+          from ct) where rn = 1),
+cd as (select doc_id, g2 as g, count(*) as cnt
+       from (select doc_id, unnest(g) as g2 from gd) group by 1, 2),
+dup as (select doc_id, sum(cnt * length(g)) as dup_chars
+        from cd where cnt >= 2 group by 1)
+select t.doc_id,
+       round(coalesce(top_chars, 0) / _len, 6) as top_ngram_char_frac,
+       round(coalesce(dup_chars, 0) / _len, 6) as dup_ngram_char_frac,
+       round(1.0 - len(list_distinct(lines)) / len(lines)::DOUBLE, 6) as dup_line_frac
+from toks_t t
+left join top using (doc_id)
+left join dup using (doc_id)
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
 # precede every rows-only one (round-4 verdict item 1). 61 entries carry a
@@ -2269,6 +2349,8 @@ SPARK_QUERIES = {
     # -- oracle-backed, past the window (verified by check_oracle.py) ----
     "q71_components": q71_components,
     "q72_decontaminate": q72_decontaminate,
+    "q73_bm25_search": q73_bm25_search,
+    "q74_repetition_signals": q74_repetition_signals,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -2344,6 +2426,8 @@ ORACLE_SQL = {
     "q70_eval_recall": _SQL_Q70,
     "q71_components": _SQL_Q71,
     "q72_decontaminate": _SQL_Q72,
+    "q73_bm25_search": _SQL_Q73,
+    "q74_repetition_signals": _sql_q74(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),

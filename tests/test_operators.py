@@ -657,3 +657,41 @@ def test_decontaminate_planted_overlap(spark):
     nb = {r["doc_id"]: r["n_hit_grams"]
           for r in DD.decontaminate(train, bench, n=3, broadcast_benchmark=False).collect()}
     assert nb == {1: 4, 2: 1}
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+
+    from arxiv_crawler_spark.operators.search import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(1, "spark join spark"), (2, "spark table table"), (3, "other words here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bm25_topk(corpus, ["spark", "join"], k=10).collect()}
+    # N=3, avgdl=3, df(spark)=2, df(join)=1; dl=avgdl so tf term = tf*2.2/(tf+1.2)
+    idf_s, idf_j = math.log(1 + 1.5 / 2.5), math.log(1 + 2.5 / 1.5)
+    want1 = (2 * 2.2 / 3.2) * idf_s + (2.2 / 2.2) * idf_j
+    want2 = (2.2 / 2.2) * idf_s
+    assert set(out) == {1, 2}
+    assert abs(out[1]["score"] - round(want1, 6)) < 1e-9
+    assert abs(out[2]["score"] - round(want2, 6)) < 1e-9
+    assert out[1]["n_hit_terms"] == 2 and out[2]["n_hit_terms"] == 1
+
+
+def test_repetition_signals_designed_docs(spark):
+    from arxiv_crawler_spark.operators.search import repetition_signals
+
+    corpus = spark.createDataFrame(
+        [(1, "a b a b a b"),        # top 2-gram "a b"×3 (len 3), dup 3-grams ×2 each
+         (2, "x\nx\ny"),            # 3 lines, 2 distinct; no 2-grams (1 token)
+         (3, "all unique tokens only once here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(corpus, n_top=2, n_dup=3).collect()}
+    assert out[1]["top_ngram_char_frac"] == round(9 / 11, 6)
+    assert out[1]["dup_ngram_char_frac"] == round(20 / 11, 6)  # overlap-counted occurrences
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[2]["top_ngram_char_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert out[3]["dup_ngram_char_frac"] == 0.0 and out[3]["top_ngram_char_frac"] > 0.0
