@@ -2285,6 +2285,39 @@ left join dup using (doc_id)
 """
 
 
+def q75_embedding_dup_clusters(spark, sf):
+    """Composed curation tail: exact embedding-cosine near-pairs (q39) →
+    connected components → keeper selection (cluster min) —
+    (node, cluster_id, is_keeper). The scale path swaps the exact pair
+    stage for operators/knn.py::lsh_near_pairs with identical downstream
+    semantics."""
+    from arxiv_crawler_spark.operators.graph import connected_components
+
+    pairs = q39_embedding_near_pairs(spark, sf).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        "node",
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+_SQL_Q75 = f"""
+with recursive
+cc_pairs as (select id_a, id_b from ({_SQL_Q39}) q),
+cc_e as (
+  select id_a as u, id_b as v from cc_pairs
+  union select id_b, id_a from cc_pairs),
+cc_nodes as (select distinct u as node from cc_e),
+reach (node, r) as (
+  select node, node from cc_nodes
+  union
+  select cc_e.u, reach.r from cc_e join reach on reach.node = cc_e.v)
+select node, min(r) as cluster_id, (node = min(r)) as is_keeper
+from reach group by node
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
 # precede every rows-only one (round-4 verdict item 1). 61 entries carry a
@@ -2351,6 +2384,7 @@ SPARK_QUERIES = {
     "q72_decontaminate": q72_decontaminate,
     "q73_bm25_search": q73_bm25_search,
     "q74_repetition_signals": q74_repetition_signals,
+    "q75_embedding_dup_clusters": q75_embedding_dup_clusters,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -2428,6 +2462,7 @@ ORACLE_SQL = {
     "q72_decontaminate": _SQL_Q72,
     "q73_bm25_search": _SQL_Q73,
     "q74_repetition_signals": _sql_q74(),
+    "q75_embedding_dup_clusters": _SQL_Q75,
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),
