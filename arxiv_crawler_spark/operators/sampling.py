@@ -1,0 +1,108 @@
+"""Corpus mixing and training-prep operators: temperature sampling and
+sequence packing.
+
+The last mile between a curated 100-TB corpus and a training run:
+rebalance the source/language mix (temperature sampling, the multilingual
+recipe of mBERT/XLM-R/PaLM) and pack variable-length documents into
+fixed-token-budget shards (the concatenate-and-chunk data prep of
+GPT-style training). The reference stops at crawl+extract
+(crawler.py:243-263); these compose downstream of its corpus.
+
+Both are fully deterministic (md5-derived acceptance hashes, hash-bucketed
+packing order) so a SQL oracle can mirror them bit-for-bit, and both keep
+the 100-TB side shuffle-light: sampling is one small per-key aggregate
+broadcast back over a scan-fused filter; packing shuffles each document
+once into its pack bucket and runs an O(bucket) window inside each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from arxiv_crawler_spark.functions.hashing import md5_hash64
+from arxiv_crawler_spark.functions.text import token_count
+
+__all__ = ["temperature_sample", "pack_sequences"]
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str = "lang",
+    temperature: float = 2.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-based corpus rebalancing: subsample so the
+    key distribution moves from the natural q_k toward q_k^(1/T)
+    (T > 1 flattens — downsample head keys, keep tail keys whole).
+
+    Realized by per-key acceptance rates a_k = (n_min / n_k)^(1 - 1/T),
+    normalized so the rarest key keeps everything (subsampling only, no
+    duplication). A document survives iff
+    md5_hash64(id || '#seed') % 1e6 < floor(round(a_k, 6) * 1e6) — a pure
+    column predicate, reproducible anywhere md5 exists.
+
+    Returns surviving rows: (doc_id, key, rate). Scale shape: one
+    small groupBy(key) count (|keys| = languages/sources, bounded), its
+    min as a scalar, the rates broadcast back; the corpus side is a single
+    scan-fused filter — no corpus-sized shuffle at all.
+    """
+    exp = 1.0 - 1.0 / temperature
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_nk"))
+    nmin = counts.agg(F.min("_nk").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        key_col,
+        F.round(
+            F.pow(F.col("_nmin").cast("double") / F.col("_nk"), F.lit(exp)), 6
+        ).alias("rate"),
+    )
+    probe = F.pmod(
+        md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))),
+        F.lit(1_000_000),
+    )
+    return (
+        df.join(F.broadcast(rates), key_col)
+        .filter(probe < F.floor(F.col("rate") * 1_000_000))
+        .select(id_col, key_col, "rate")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: assign each document a
+    (bucket, pack_id, start_offset) as if the bucket's documents were
+    concatenated in doc-id order and split every ``budget_tokens`` tokens
+    — (doc_id, bucket, n_tokens, start_offset, pack_id).
+
+    ``bucket = md5_hash64(id) % n_buckets`` shards the corpus so packing
+    is embarrassingly parallel (at 100 TB n_buckets ≈ shard count and each
+    bucket's window cumsum runs within one partition after a single keyed
+    shuffle); pack_id = start_offset // budget is the GPT-style streaming
+    chunk index within the bucket.
+    """
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("start_offset") / F.lit(budget_tokens)).cast("long")
+        )
+    )

@@ -2318,6 +2318,53 @@ from reach group by node
 """
 
 
+def q76_temperature_sample(spark, sf):
+    """Temperature-based corpus rebalancing (operators/sampling.py):
+    per-lang acceptance rates (n_min/n_k)^(1-1/T) at T=2, deterministic
+    md5 acceptance — the multilingual data-mixing recipe as a pure
+    column predicate."""
+    from arxiv_crawler_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(load(spark, sf, "documents"), "lang", 2.0, seed=42)
+
+
+_SQL_Q76 = """
+with counts as (select lang, count(*) as nk from documents group by 1),
+nmin as (select min(nk) as nm from counts),
+rates as (
+  select lang, round(pow(nm::DOUBLE / nk, 0.5), 6) as rate
+  from counts cross join nmin)
+select d.doc_id, d.lang, r.rate
+from documents d join rates r using (lang)
+where ('0x' || substr(md5(d.doc_id::VARCHAR || '#42'), 1, 15))::BIGINT % 1000000
+      < floor(r.rate * 1000000)
+"""
+
+
+def q77_pack_sequences(spark, sf):
+    """GPT-style concatenate-and-chunk packing (operators/sampling.py):
+    hash-bucketed doc order, per-bucket token cumsum, pack = start
+    offset // 512 — the training-shard assignment as a window plan."""
+    from arxiv_crawler_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(load(spark, sf, "documents"), budget_tokens=512, n_buckets=8)
+
+
+_SQL_Q77 = f"""
+with base as (
+  select doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8)::INTEGER as bucket,
+         len({_SQL_TOKS}) as n_tokens
+  from documents)
+select doc_id, bucket, n_tokens,
+       coalesce(sum(n_tokens) over (partition by bucket order by doc_id
+                 rows between unbounded preceding and 1 preceding), 0)::BIGINT as start_offset,
+       (coalesce(sum(n_tokens) over (partition by bucket order by doc_id
+                 rows between unbounded preceding and 1 preceding), 0) // 512)::BIGINT as pack_id
+from base
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
 # precede every rows-only one (round-4 verdict item 1). 61 entries carry a
@@ -2385,6 +2432,8 @@ SPARK_QUERIES = {
     "q73_bm25_search": q73_bm25_search,
     "q74_repetition_signals": q74_repetition_signals,
     "q75_embedding_dup_clusters": q75_embedding_dup_clusters,
+    "q76_temperature_sample": q76_temperature_sample,
+    "q77_pack_sequences": q77_pack_sequences,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -2463,6 +2512,8 @@ ORACLE_SQL = {
     "q73_bm25_search": _SQL_Q73,
     "q74_repetition_signals": _sql_q74(),
     "q75_embedding_dup_clusters": _SQL_Q75,
+    "q76_temperature_sample": _SQL_Q76,
+    "q77_pack_sequences": _SQL_Q77,
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),

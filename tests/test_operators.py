@@ -695,3 +695,41 @@ def test_repetition_signals_designed_docs(spark):
     assert out[2]["top_ngram_char_frac"] == 0.0
     assert out[2]["dup_line_frac"] == round(1 - 2 / 3, 6)
     assert out[3]["dup_ngram_char_frac"] == 0.0 and out[3]["top_ngram_char_frac"] > 0.0
+
+
+def test_temperature_sample_rebalances_mix(spark):
+    """T=2 halves the log-imbalance: the head key is subsampled at
+    sqrt(n_min/n_head), the rarest key keeps everything (rate 1.0)."""
+    from arxiv_crawler_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i < 800 else ("de" if i < 950 else "sw")) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_sample(df, "lang", temperature=2.0, seed=42).toPandas()
+    rates = out.groupby("lang")["rate"].first().to_dict()
+    assert rates["sw"] == 1.0
+    assert abs(rates["en"] - round((50 / 800) ** 0.5, 6)) < 1e-9
+    assert abs(rates["de"] - round((50 / 150) ** 0.5, 6)) < 1e-9
+    kept = out.groupby("lang")["doc_id"].count().to_dict()
+    assert kept["sw"] == 50                     # rarest key fully kept
+    assert abs(kept["en"] / 800 - rates["en"]) < 0.05   # hash acceptance ≈ rate
+    # determinism
+    again = temperature_sample(df, "lang", temperature=2.0, seed=42).toPandas()
+    assert sorted(again["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_pack_sequences_chunks_and_offsets(spark):
+    """Offsets are the exact per-bucket running token sums in doc-id
+    order; pack boundaries land every budget tokens."""
+    from arxiv_crawler_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (10 + i))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget_tokens=64, n_buckets=4).toPandas()
+    assert len(out) == 40
+    for b, grp in out.groupby("bucket"):
+        grp = grp.sort_values("doc_id")
+        run = 0
+        for _, r in grp.iterrows():
+            assert r["start_offset"] == run
+            assert r["pack_id"] == run // 64
+            run += r["n_tokens"]
