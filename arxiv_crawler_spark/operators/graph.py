@@ -41,6 +41,7 @@ def pagerank(
     src_col: str = "citer",
     dst_col: str = "cited",
     checkpoint_every: int = 5,
+    dangling: str = "leak",
 ) -> DataFrame:
     """Damped PageRank: (node, pagerank) after ``iterations`` fixpoint steps.
 
@@ -48,6 +49,13 @@ def pagerank(
     twice contributes twice, matching the reference's per-occurrence count
     semantics). ``nodes``: one row per node (isolated nodes keep the base
     rank). Deterministic: pure column arithmetic + joins, no sampling.
+
+    ``dangling``: "leak" (default) lets out-degree-0 mass vanish (the
+    (1-d)/N base keeps ranks well-defined; relative ranking unaffected);
+    "redistribute" spreads dangling mass uniformly each step (the
+    networkx/classic convention — ranks sum to 1). Redistribution stays
+    declarative: the dangling-mass scalar is an agg cross-joined back in,
+    so the unrolled plan remains one linear chain with no driver collect.
     """
     n = nodes.count()  # one metadata-cheap job; N is a plan literal after
     base = (1.0 - damping) / n
@@ -60,9 +68,23 @@ def pagerank(
             .groupBy(F.col(dst_col).alias(node_col))
             .agg(F.sum(F.col("_r") / F.col("_od")).alias("_c"))
         )
-        ranks = nodes.select(node_col).join(contrib, node_col, "left").select(
+        nxt = nodes.select(node_col).join(contrib, node_col, "left")
+        extra = F.lit(0.0)
+        if dangling == "redistribute":
+            dm = (
+                ranks.join(
+                    outdeg.withColumnRenamed(src_col, node_col), node_col, "left_anti"
+                )
+                .agg(F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_dm"))
+            )
+            nxt = nxt.crossJoin(F.broadcast(dm))
+            extra = F.col("_dm") / n
+        ranks = nxt.select(
             F.col(node_col),
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))).alias("_r"),
+            (
+                F.lit(base)
+                + F.lit(damping) * (F.coalesce(F.col("_c"), F.lit(0.0)) + extra)
+            ).alias("_r"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)

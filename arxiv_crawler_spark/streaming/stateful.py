@@ -38,7 +38,12 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-__all__ = ["streaming_sessionize", "streaming_sessionize_tws", "tws_available"]
+__all__ = [
+    "streaming_sessionize",
+    "streaming_sessionize_tws",
+    "streaming_exact_dedup",
+    "tws_available",
+]
 
 OUT_SCHEMA = (
     "user_id long, session_idx long, n_events long, sum_value double, "
@@ -206,4 +211,64 @@ def streaming_sessionize_tws(
             outputMode="update",
             timeMode="none",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup: first-wins keeper per content hash across batches
+# ---------------------------------------------------------------------------
+
+DEDUP_OUT_SCHEMA = "content_hash string, keeper_id long, dup_count long"
+DEDUP_STATE_SCHEMA = "keeper_id long, n long"
+
+
+def _dedup_fn():
+    def fn(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        ids = batch["doc_id"].to_numpy()
+        keeper, n = state.get if state.exists else (None, 0)
+        mn = int(ids.min())
+        keeper = mn if keeper is None or mn < keeper else int(keeper)
+        n = int(n) + len(ids)
+        state.update((keeper, n))
+        yield pd.DataFrame(
+            {"content_hash": [key[0]], "keeper_id": [keeper], "dup_count": [n]}
+        )
+
+    return fn
+
+
+def streaming_exact_dedup(spark: SparkSession, docs_parquet: str) -> DataFrame:
+    """Streaming form of operators/dedup.py::exact_dedup: per content hash,
+    the min-id keeper and running dup count survive across micro-batches
+    (output mode 'update' — downstream keys on content_hash and keeps the
+    latest row; the final row per hash equals the batch result exactly,
+    which the built-in ``dropDuplicates`` cannot promise because it keeps
+    the arrival-ordered first row).
+
+    At 100 TB the state is one (hash, keeper, n) tuple per distinct
+    document — the same cardinality the batch groupBy shuffles — sharded
+    by the state store; bound retention with
+    ``dropDuplicatesWithinWatermark``-style TTL (GroupStateTimeout) when
+    the stream is unbounded."""
+    schema = spark.read.parquet(docs_parquet).schema
+    src = docs_parquet
+    if os.path.isfile(src):
+        staged = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(src), os.path.join(staged, "part-0.parquet"))
+        src = staged
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("content_hash", F.md5(F.col("text")))
+        .select("content_hash", "doc_id")
+    )
+    return stream.groupBy("content_hash").applyInPandasWithState(
+        _dedup_fn(),
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

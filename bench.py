@@ -198,6 +198,12 @@ HEADLINE = [
     # (9 original entries kept unchanged for cross-round comparability)
     "q49_pagerank",
     "q70_eval_recall",
+    # round-5 batch 2: graph clustering, lexical search, curation prep
+    "q71_components",
+    "q73_bm25_search",
+    "q74_repetition_signals",
+    "q76_temperature_sample",
+    "q77_pack_sequences",
 ]
 
 

@@ -733,3 +733,33 @@ def test_pack_sequences_chunks_and_offsets(spark):
             assert r["start_offset"] == run
             assert r["pack_id"] == run // 64
             run += r["n_tokens"]
+
+
+def test_pagerank_dangling_redistribute_matches_dense_reference(spark):
+    """dangling='redistribute' spreads dangling mass uniformly each step
+    (classic convention): matches a dense numpy iteration and sums to 1."""
+    import numpy as np
+
+    from arxiv_crawler_spark.operators.graph import pagerank
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 0)]
+    n, d, iters = 4, 0.85, 4
+    edges = spark.createDataFrame(E, "citer long, cited long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(
+            edges, nodes, iterations=iters, damping=d, dangling="redistribute"
+        ).collect()
+    }
+    r = np.full(n, 1.0 / n)
+    od = {0: 2, 1: 1, 2: 2}
+    for _ in range(iters):
+        c = np.zeros(n)
+        for s_, t_ in E:
+            c[t_] += r[s_] / od[s_]
+        dm = r[3]  # node 3 is dangling
+        r = (1 - d) / n + d * (c + dm / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -393,3 +393,71 @@ def test_tail_gc_prunes_compacted_rounds(spark, tmp_path_factory):
     assert prefixes_after == want
     # batch view unaffected: all 70 rows still readable via the manifest
     assert store.fetched().count() == n_rounds * 10
+
+
+def test_streaming_exact_dedup_equals_batch(spark, tmp_path_factory):
+    """streaming_exact_dedup's final update per content hash (keeper =
+    min doc_id, dup_count) equals batch exact_dedup, with state spanning
+    micro-batches (maxFilesPerTrigger=1 over two staged files that split
+    duplicate groups)."""
+    import pandas as pd
+
+    from arxiv_crawler_spark.operators.dedup import exact_dedup
+    from arxiv_crawler_spark.streaming.stateful import (
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        _dedup_fn,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = tmp_path_factory.mktemp("sdedup")
+    rows1 = [(10, "alpha text"), (11, "beta text"), (12, "alpha text")]
+    rows2 = [(5, "alpha text"), (13, "gamma text"), (14, "beta text")]
+    spark.createDataFrame(rows1, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(rows2, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    staged = src / "in"
+    staged.mkdir()
+    import glob, os
+
+    for i, d in enumerate(["b1", "b2"]):
+        (f,) = glob.glob(str(src / d / "part-*.parquet"))
+        os.symlink(f, str(staged / f"{i}-part.parquet"))
+
+    batch_df = spark.read.parquet(str(staged))
+    schema = batch_df.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+        .withColumn("content_hash", F.md5(F.col("text")))
+        .select("content_hash", "doc_id")
+    )
+    out = stream.groupBy("content_hash").applyInPandasWithState(
+        _dedup_fn(), DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    sink = f"sdedup_{id(out)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"select * from {sink}").toPandas()
+    # keep the LAST update per hash (updates arrive in batch order)
+    final = got.groupby("content_hash").last().reset_index()
+    want = exact_dedup(batch_df).toPandas()
+    merged = final.merge(want, on="content_hash", suffixes=("_s", "_b"))
+    assert len(merged) == len(want) == 3
+    assert (merged["keeper_id_s"] == merged["keeper_id_b"]).all()
+    assert (merged["dup_count_s"] == merged["dup_count_b"]).all()
+    # the late-arriving smaller id (5) must have displaced keeper 10
+    alpha = want[want["keeper_id"] == 5]
+    assert len(alpha) == 1 and int(alpha["dup_count"].iloc[0]) == 3
