@@ -2365,6 +2365,32 @@ from base
 """
 
 
+def q78_streaming_dedup(spark, sf):
+    """Streaming exact dedup (streaming/stateful.py) driven to completion
+    with availableNow over the documents table: the final per-hash state
+    (keeper = min doc_id, dup count) is deterministic and equals the batch
+    groupBy, so the oracle is exactly q23's SQL. The single-file source
+    yields one micro-batch here; multi-batch state continuity is covered
+    by tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from arxiv_crawler_spark.streaming.stateful import streaming_exact_dedup
+
+    qname = f"q78_sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(spark, f"{sf}/documents.parquet")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q78_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select content_hash, keeper_id, dup_count from {qname}")
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
 # precede every rows-only one (round-4 verdict item 1). 61 entries carry a
@@ -2434,6 +2460,7 @@ SPARK_QUERIES = {
     "q75_embedding_dup_clusters": q75_embedding_dup_clusters,
     "q76_temperature_sample": q76_temperature_sample,
     "q77_pack_sequences": q77_pack_sequences,
+    "q78_streaming_dedup": q78_streaming_dedup,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -2514,6 +2541,8 @@ ORACLE_SQL = {
     "q75_embedding_dup_clusters": _SQL_Q75,
     "q76_temperature_sample": _SQL_Q76,
     "q77_pack_sequences": _SQL_Q77,
+    # the streamed final state equals the batch dedup exactly — reuse q23's SQL
+    "q78_streaming_dedup": _SQL_Q23,
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),
