@@ -128,3 +128,56 @@ def test_jaccard_pairs_no_corpus_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p  # the g-key self-join
+
+
+def test_temperature_sample_broadcasts_rates_not_corpus(spark, sf_dir):
+    """The corpus side must reach the rates join without shuffling: with
+    auto-broadcast off, the only BroadcastExchange allowed is the forced
+    rates/n_min side (O(|keys|)); a SortMergeJoin would mean the 100-TB
+    side shuffles on lang."""
+    from arxiv_crawler_spark.operators.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(temperature_sample(docs, "lang", 2.0), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" in p          # forced rates-side broadcast
+    assert "SortMergeJoin" not in p          # corpus never shuffles on lang
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast (bounded by construction);
+    the corpus gram stream must not sort-merge against it."""
+    from arxiv_crawler_spark.operators.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(decontaminate(train, bench, n=3), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bm25_no_sort_merge_joins(spark, sf_dir):
+    """df and corpus stats are tiny by construction (|query| terms / one
+    row) and must broadcast into the scoring join even with size-based
+    auto-broadcast off; the corpus side's only shuffle is the tf groupBy."""
+    from arxiv_crawler_spark.operators.search import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(bm25_topk(docs, ["spark", "hash", "join"], k=10), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
