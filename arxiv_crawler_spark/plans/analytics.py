@@ -1752,13 +1752,29 @@ def x55_embedding_near_pairs_lsh(spark, sf):
 
 
 def x56_approx_distinct(spark, sf):
-    """approx_count_distinct — frontier-size estimation at 10^10 scale
-    (sketch-based, no exact-SQL oracle; rows-only check)."""
+    """approx_count_distinct — frontier-size estimation at 10^10 scale.
+    The sketch value itself is engine-specific (DuckDB's HLL differs), so
+    the hashed contract is the SEMANTIC one: the exact distinct count plus
+    a within-5%-of-exact flag (deterministic — Spark's HLL++ is a pure
+    function of the input at fixed rsd). The oracle asserts the flag is
+    true against DuckDB's exact count."""
     d = load(spark, sf, "documents")
     return d.groupBy("lang").agg(
-        F.approx_count_distinct("text").alias("approx_docs"),
-        F.count(F.lit(1)).alias("exact_rows"),
+        F.count_distinct(F.col("text")).alias("exact_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct("text", rsd=0.05)
+                - F.count_distinct(F.col("text"))
+            )
+            <= F.count_distinct(F.col("text")) * 0.05
+        ).alias("approx_within_5pct"),
     )
+
+
+_SQL_X56 = """
+select lang, count(distinct text) as exact_distinct, true as approx_within_5pct
+from documents group by 1
+"""
 
 
 def x57_host_skew_wave(spark, sf):
@@ -2472,11 +2488,11 @@ SPARK_QUERIES = {
     "x63_live_metadata_search": x63_live_metadata_search,
     "x64_live_cited_by_contexts": x64_live_cited_by_contexts,
     "x65_robots_parse": x65_robots_parse,
+    "x56_approx_distinct": x56_approx_distinct,
     # -- rows-only (driver-side quantizer training / sketch internals /
     #    streams — the deterministic components are oracled above; recall
     #    and parity live in pytest) ---------------------------------------
     "x53_media_features": x53_media_features,
-    "x56_approx_distinct": x56_approx_distinct,
     "x59_render_tei": x59_render_tei,
     "x61_knn_ivf": x61_knn_ivf,
     "x62_semantic_search_ann": x62_semantic_search_ann,
@@ -2550,6 +2566,7 @@ ORACLE_SQL = {
     "x63_live_metadata_search": _sql_x63(),
     "x64_live_cited_by_contexts": _sql_x64(),
     "x65_robots_parse": _SQL_X65,
+    "x56_approx_distinct": _SQL_X56,
     "x54_simhash_near_pairs": _sql_x54(),
     "x60_simhash64_near_pairs": _sql_x60(),
     "x55_embedding_near_pairs_lsh": _sql_x55(),
