@@ -135,15 +135,18 @@ def repetition_signals(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         if top:
-            w = Window.partitionBy(id_col).orderBy(
-                F.col("cnt").desc(), F.col("g").asc()
+            # argmax as a plain aggregate (map-side partial combine) instead
+            # of a row_number window (full sort shuffle): min over
+            # (-cnt, gram) = highest count, lexicographically smallest gram
+            # on ties — the exact window tie-break, one pass
+            best = counts.groupBy(id_col).agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("_nc"), F.col("g").alias("_g"))
+                ).alias("_b")
             )
-            return (
-                counts.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(
-                    id_col, (F.col("cnt") * F.length("g")).alias("_top_chars")
-                )
+            return best.select(
+                id_col,
+                ((-F.col("_b._nc")) * F.length(F.col("_b._g"))).alias("_top_chars"),
             )
         return (
             counts.filter(F.col("cnt") >= 2)
