@@ -172,7 +172,9 @@ def connected_components(
     )
     prev_sig = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature agg below materializes it in the
+        # same job (eager would run a second, redundant job per round)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: order-insensitive and overflow-proof under ANSI

@@ -53,8 +53,7 @@ def bm25_topk(
     ).select(
         id_col,
         F.size("_toks").alias("dl"),
-        F.array_intersect(F.col("_toks"), qt).alias("_q_present"),
-        # per-query-term counts BEFORE exploding: |docs|×|query| rows max
+        # per-query-term hits BEFORE exploding: |docs|×|query| rows max
         F.filter(F.col("_toks"), lambda t: F.array_contains(qt, t)).alias("_hits"),
     )
     stats = toks.agg(
