@@ -2407,6 +2407,113 @@ def q78_streaming_dedup(spark, sf):
     return spark.sql(f"select content_hash, keeper_id, dup_count from {qname}")
 
 
+def q79_pipeline_v2(spark, sf):
+    """The full modern curation pipeline in ONE plan — repetition gate
+    (q74) → benchmark decontamination (q72) → exact dedup (q23) →
+    temperature sampling (q76) → sequence packing (q77) — emitting a
+    one-row stage-by-stage audit: every operator family composes, and the
+    whole chain stays declarative (scalar stage counts cross-joined, the
+    q48 shape)."""
+    from arxiv_crawler_spark.operators.dedup import decontaminate, exact_dedup
+    from arxiv_crawler_spark.operators.sampling import pack_sequences, temperature_sample
+    from arxiv_crawler_spark.operators.search import repetition_signals
+
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    rep_pass = (
+        repetition_signals(train, n_top=2, n_dup=3)
+        .filter(F.col("top_ngram_char_frac") <= 0.1)
+        .select("doc_id")
+    )
+    gated = train.join(rep_pass, "doc_id")
+    contaminated = decontaminate(gated, bench, n=3).select("doc_id")
+    clean = gated.join(contaminated, "doc_id", "left_anti")
+    keepers = exact_dedup(clean).select(F.col("keeper_id").alias("doc_id"))
+    deduped = clean.join(keepers, "doc_id")
+    sampled = deduped.join(
+        temperature_sample(deduped, "lang", 2.0, seed=42).select("doc_id"), "doc_id"
+    )
+    packed = pack_sequences(sampled, budget_tokens=512, n_buckets=8)
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        cnt(docs, "n_input")
+        .crossJoin(cnt(bench, "n_benchmark"))
+        .crossJoin(cnt(gated, "n_repetition_pass"))
+        .crossJoin(cnt(contaminated, "n_contaminated"))
+        .crossJoin(cnt(deduped, "n_after_dedup"))
+        .crossJoin(cnt(sampled, "n_sampled"))
+        .crossJoin(
+            packed.agg(
+                F.sum("n_tokens").alias("n_tokens_sampled"),
+                F.count_distinct(F.col("bucket"), F.col("pack_id")).alias("n_packs"),
+            )
+        )
+    )
+
+
+def _sql_q79() -> str:
+    return f"""
+with train as (select * from documents where doc_id % 50 <> 0),
+bench as (select * from documents where doc_id % 50 = 0),
+r_toks as (select doc_id, {_SQL_TOKS} as toks, length(text) as _len from train),
+r_gt as (select doc_id, case when len(toks) >= 2 then
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+1], ' '))
+         else [] end as g from r_toks),
+r_ct as (select doc_id, g2 as g, count(*) as cnt
+         from (select doc_id, unnest(g) as g2 from r_gt) group by 1, 2),
+r_top as (select doc_id, cnt * length(g) as tc from (
+            select doc_id, g, cnt,
+                   row_number() over (partition by doc_id order by cnt desc, g asc) as rn
+            from r_ct) where rn = 1),
+gated as (
+  select t.* from train t join (
+    select rt.doc_id from r_toks rt left join r_top using (doc_id)
+    where round(coalesce(tc, 0) / _len, 6) <= 0.1) ok using (doc_id)),
+b_sh as (select doc_id as bench_id, {_sql_shingles(3)} as sh
+         from (select doc_id, {_SQL_TOKS} as toks from bench)),
+bg as (select distinct bench_id, unnest(sh) as g from b_sh),
+t_sh as (select doc_id, {_sql_shingles(3)} as sh
+         from (select doc_id, {_SQL_TOKS} as toks from gated)),
+tg as (select doc_id, unnest(sh) as g from t_sh),
+contaminated as (select distinct tg.doc_id from tg join bg on tg.g = bg.g),
+clean as (select * from gated where doc_id not in (select doc_id from contaminated)),
+keep as (select min(doc_id) as doc_id from clean group by md5(text)),
+ded as (select c.* from clean c join keep using (doc_id)),
+s_counts as (select lang, count(*) as nk from ded group by 1),
+s_nmin as (select min(nk) as nm from s_counts),
+s_rates as (select lang, round(pow(nm::DOUBLE / nk, 0.5), 6) as rate
+            from s_counts cross join s_nmin),
+samp as (
+  select d.* from ded d join s_rates r using (lang)
+  where ('0x' || substr(md5(d.doc_id::VARCHAR || '#42'), 1, 15))::BIGINT % 1000000
+        < floor(r.rate * 1000000)),
+p_base as (
+  select doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8)::INTEGER as bucket,
+         len({_SQL_TOKS}) as n_tokens
+  from samp),
+p_out as (
+  select bucket, n_tokens,
+         coalesce(sum(n_tokens) over (partition by bucket order by doc_id
+                   rows between unbounded preceding and 1 preceding), 0) // 512 as pack_id
+  from p_base)
+select
+  (select count(*) from documents) as n_input,
+  (select count(*) from bench) as n_benchmark,
+  (select count(*) from gated) as n_repetition_pass,
+  (select count(*) from contaminated) as n_contaminated,
+  (select count(*) from ded) as n_after_dedup,
+  (select count(*) from samp) as n_sampled,
+  (select sum(n_tokens)::BIGINT from p_out) as n_tokens_sampled,
+  (select count(distinct (bucket, pack_id)) from p_out) as n_packs
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
 # precede every rows-only one (round-4 verdict item 1). 61 entries carry a
@@ -2477,6 +2584,7 @@ SPARK_QUERIES = {
     "q76_temperature_sample": q76_temperature_sample,
     "q77_pack_sequences": q77_pack_sequences,
     "q78_streaming_dedup": q78_streaming_dedup,
+    "q79_pipeline_v2": q79_pipeline_v2,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -2559,6 +2667,7 @@ ORACLE_SQL = {
     "q77_pack_sequences": _SQL_Q77,
     # the streamed final state equals the batch dedup exactly — reuse q23's SQL
     "q78_streaming_dedup": _SQL_Q23,
+    "q79_pipeline_v2": _sql_q79(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),
