@@ -1,9 +1,12 @@
 """Deduplication operators for web-scale corpora.
 
-Five families, each a declarative DataFrame composition (shuffle-aware; no
+Six families, each a declarative DataFrame composition (shuffle-aware; no
 Python UDFs):
 
 * **exact**       — content-hash groupBy; first-id-wins keeper.
+* **exact substring** — ExactSubstr duplicated-span detection (Lee et al.
+  2021): gram-hash occurrence counting + gaps-and-islands span merge, two
+  keyed shuffles, no suffix array.
 * **MinHash+LSH** — shingle → k-min-hash signature → banded bucket join →
   candidate pairs verified by true Jaccard. The shuffle is on band keys
   (small), never on the full pair cross-product.
@@ -38,6 +41,8 @@ __all__ = [
     "simhash_near_pairs",
     "simhash64_near_pairs",
     "decontaminate",
+    "duplicate_span_positions",
+    "duplicate_spans",
 ]
 
 
@@ -213,6 +218,103 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def duplicate_span_positions(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Token positions covered by a duplicated n-gram: (doc_id, pos) for every
+    1-based gram start whose token n-gram occurs ≥ ``min_count`` times
+    corpus-wide (all occurrences counted — cross- AND within-document, so a
+    document repeating its own boilerplate flags itself).
+
+    This is the position-level core of ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"). The paper
+    builds a corpus suffix array; the idiomatic Spark equivalent for
+    fixed-width matches is ONE keyed shuffle: explode gram starts, hash each
+    gram to 64 bits (xxhash64 — only the 8-byte hash crosses the exchange,
+    never the gram text), and count occurrences with a window over the hash.
+    Cost is Θ(total tokens) rows through one exchange — the same order as the
+    tokenizer pass a training pipeline already pays, and there is no
+    candidate-pair blowup because position survival is per-occurrence, not
+    per-pair. A 64-bit collision merging two distinct grams is ~|grams|²/2⁶⁵
+    (≈10⁻⁶ at 10⁶ grams); at 100-TB scale flip to two independent salts if
+    that matters.
+    """
+    toks = tokens(F.col(content_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = df.select(
+        F.col(id_col), F.posexplode(grams).alias("_i", "_gram")
+    ).select(
+        F.col(id_col),
+        (F.col("_i") + 1).cast("long").alias("pos"),
+        F.xxhash64(F.col("_gram")).alias("_gh"),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("_gh"))
+    return (
+        pos_grams.withColumn("_cnt", cnt)
+        .filter(F.col("_cnt") >= min_count)
+        .select(id_col, "pos")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr duplicated-span report: maximal merged token spans
+    ``(doc_id, span_start, span_end, span_tokens)`` (1-based, inclusive)
+    covered by at least one duplicated n-gram — the spans ExactSubstr dedup
+    would cut from each document.
+
+    Covered windows ``[pos, pos+n-1]`` that overlap OR tile token-adjacently
+    are merged with gaps-and-islands — a span is a maximal contiguous run of
+    duplicated-covered tokens: a covered position opens a new island iff it
+    starts ≥2 tokens past every previous window's end (running ``max``
+    window, so out-of-order window ends can't split a span), islands are
+    numbered by a running sum of breaks, and the span aggregate groups by
+    (doc, island). Both window passes partition by ``doc_id``, and the final
+    groupBy's (doc, island) clustering is satisfied by that same hash
+    partitioning — so span assembly adds exactly ONE more keyed shuffle (by
+    doc) after :func:`duplicate_span_positions`'s gram-hash exchange, and
+    partitions stay balanced because no document contributes more rows than
+    its token count. Removal itself composes downstream: join spans back and
+    slice/filter tokens, keeping the cut a metadata operation until
+    re-materialization.
+    """
+    cov = duplicate_span_positions(df, n, min_count, id_col, content_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1).otherwise(0)
+    return (
+        cov.withColumn("_island", F.sum(brk).over(w))
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
     )
 
 

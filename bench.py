@@ -204,6 +204,8 @@ HEADLINE = [
     "q74_repetition_signals",
     "q76_temperature_sample",
     "q77_pack_sequences",
+    # round-5 batch 3: ExactSubstr duplicated-span dedup
+    "q80_duplicate_spans",
 ]
 
 

@@ -659,6 +659,67 @@ def test_decontaminate_planted_overlap(spark):
     assert nb == {1: 4, 2: 1}
 
 
+def test_duplicate_spans_designed_corpus(spark):
+    """ExactSubstr span detection on a hand-built corpus: cross-doc shared
+    runs slide into merged spans, within-doc repetition flags itself as two
+    islands, unique text yields nothing, and overlapping covered windows
+    collapse to one maximal span."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 a5 a6"),                # fully unique — no spans
+            (2, "x1 x2 p q r x3 x4"),                # shares "p q r" with doc 3
+            (3, "y1 p q r y2 y3"),
+            (4, "m n o z1 z2 z3 m n o"),             # self-repeat, two islands
+            (5, "e1 s t u v w e2 e3"),               # 5-token run shared with 6:
+            (6, "s t u v w f1 f2"),                  #   3 sliding grams merge to one span
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_tokens"])
+        for r in DD.duplicate_spans(docs, n=3).collect()
+    }
+    assert out == {
+        (2, 3): (5, 3),   # "p q r" at tokens 3-5
+        (3, 2): (4, 3),   # "p q r" at tokens 2-4
+        (4, 1): (3, 3),   # "m n o" opening
+        (4, 7): (9, 3),   # "m n o" again — separate island (gap at 4-6)
+        (5, 2): (6, 5),   # covered pos {2,3,4} merge into tokens 2-6
+        (6, 1): (5, 5),
+    }
+
+
+def test_duplicate_spans_adjacent_windows_merge(spark):
+    """Covered windows that tile without overlapping (pos 1 and pos 4 at
+    n=3: tokens [1,3] + [4,6]) are one contiguous duplicated range and must
+    come back as ONE span — the islands break requires a ≥1-token gap."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f t1 t2"),   # "a b c" and "d e f" dup, bridge grams unique
+            (2, "a b c u1 u2 d e f"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in DD.duplicate_spans(docs, n=3).collect()
+    }
+    assert got == {(1, 1, 6), (2, 1, 3), (2, 6, 8)}
+
+
+def test_duplicate_spans_min_count_and_positions(spark):
+    """min_count raises the occurrence bar; duplicate_span_positions exposes
+    the raw covered gram starts the spans are assembled from."""
+    docs = spark.createDataFrame(
+        [(1, "k l m q1"), (2, "k l m q2"), (3, "k l m q3")],
+        ["doc_id", "text"],
+    )
+    pos = {(r["doc_id"], r["pos"]) for r in DD.duplicate_span_positions(docs, n=3).collect()}
+    assert pos == {(1, 1), (2, 1), (3, 1)}
+    assert DD.duplicate_spans(docs, n=3, min_count=4).count() == 0
+    assert DD.duplicate_spans(docs, n=3, min_count=3).count() == 3
+
+
 def test_bm25_matches_hand_computation(spark):
     import math
 

@@ -166,6 +166,26 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_duplicate_spans_two_exchanges_hash_only(spark, sf_dir):
+    """The ExactSubstr span plan must cost exactly TWO keyed exchanges —
+    gram-hash occurrence window, then per-doc islands window (the span
+    groupBy reuses the doc partitioning) — with no broadcast and no
+    single-partition stage. The gram TEXT must never cross an exchange:
+    only the 8-byte xxhash64 is shuffled, so exchange width is O(id+pos+8)
+    regardless of gram length."""
+    from arxiv_crawler_spark.operators.dedup import duplicate_spans
+
+    df = duplicate_spans(load(spark, sf_dir, "documents"), n=8)
+    p = plan_of(df, "simple")
+    assert "BroadcastExchange" not in p and "SinglePartition" not in p
+    assert p.count("Exchange") == 2
+    # the projected gram column is consumed by xxhash64 below the first
+    # exchange and must not appear in either exchange's output schema
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "_gram" not in line
+
+
 def test_bm25_no_sort_merge_joins(spark, sf_dir):
     """df and corpus stats are tiny by construction (|query| terms / one
     row) and must broadcast into the scoring join even with size-based
