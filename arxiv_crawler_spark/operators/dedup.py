@@ -43,6 +43,7 @@ __all__ = [
     "decontaminate",
     "duplicate_span_positions",
     "duplicate_spans",
+    "remove_duplicate_spans",
 ]
 
 
@@ -314,6 +315,59 @@ def duplicate_spans(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr removal (the cut side of Lee et al. 2021): rebuild each
+    document with every :func:`duplicate_spans` span excised, returning
+    ``(id, text, n_removed)`` — cleaned token stream (single-space joined)
+    plus the number of tokens cut. Untouched documents pass through
+    byte-identical and every input document survives (a fully-duplicated
+    document comes back with empty text, mirroring the paper's policy of
+    cutting the substring, not dropping the document).
+
+    The cut itself is row-local JVM work: spans are grouped to one array
+    per document (the groupBy reuses :func:`duplicate_spans`'s doc-hash
+    partitioning — no new exchange) and tokens are dropped with an indexed
+    ``filter`` + ``exists`` lambda, O(tokens × spans/doc) inside codegen,
+    no Python UDF. The only join is corpus ⟕ per-doc span arrays on the id
+    — both sides corpus-sized at worst, so the strategy is left to
+    Catalyst/AQE (shuffle join at scale, broadcast only if the span side
+    measures small), per the engine's no-forced-broadcast policy for
+    corpus-derived sides.
+    """
+    spans = (
+        duplicate_spans(df, n, min_count, id_col, content_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+            F.sum("span_tokens").alias("_removed"),
+        )
+    )
+    toks = tokens(F.col(content_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return (
+        df.join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_spans").isNull(), F.col(content_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias(content_col),
+            F.coalesce(F.col("_removed"), F.lit(0)).cast("long").alias("n_removed"),
         )
     )
 

@@ -2554,15 +2554,67 @@ from isl group by doc_id, island
 """
 
 
+def q81_remove_duplicate_spans(spark, sf):
+    """ExactSubstr removal (operators/dedup.py): every q80 span excised
+    from its document — cleaned single-space token stream + tokens-cut
+    count, untouched documents byte-identical, fully-duplicated documents
+    kept with empty text. The cut is a row-local indexed filter/exists
+    lambda; the only join is corpus ⟕ per-doc span arrays, strategy left
+    to Catalyst."""
+    from arxiv_crawler_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(load(spark, sf, "documents"), n=8)
+
+
+def _sql_q81() -> str:
+    # Mirrors remove_duplicate_spans(n=8): q80's span SQL, re-aggregated per
+    # doc, then touched docs rebuilt by dropping positions inside any span.
+    return f"""
+with toks_t as (select doc_id, text, {_SQL_TOKS} as toks from documents),
+pg as (select doc_id, toks,
+              unnest(generate_series(1, greatest(len(toks) - 7, 0))) as pos
+       from toks_t),
+g as (select doc_id, pos, array_to_string(toks[pos:pos+7], ' ') as gram from pg),
+cov as (select doc_id, pos from (
+          select doc_id, pos, count(*) over (partition by gram) as cnt from g)
+        where cnt >= 2),
+brk as (select doc_id, pos,
+               case when pos > coalesce(max(pos + 7) over (
+                      partition by doc_id order by pos
+                      rows between unbounded preceding and 1 preceding), -2) + 1
+                    then 1 else 0 end as b
+        from cov),
+isl as (select doc_id, pos, sum(b) over (partition by doc_id order by pos) as island
+        from brk),
+spans as (select doc_id, min(pos) as s, max(pos) + 7 as e
+          from isl group by doc_id, island),
+agg as (select doc_id, sum(e - s + 1)::BIGINT as removed from spans group by 1),
+pos_t as (select t.doc_id, t.toks, unnest(generate_series(1, len(t.toks))) as i
+          from toks_t t join agg a using (doc_id)),
+kept as (select p.doc_id, p.i, p.toks[p.i] as tok from pos_t p
+         where not exists (select 1 from spans s
+                           where s.doc_id = p.doc_id and p.i between s.s and s.e)),
+rebuilt as (select doc_id, coalesce(string_agg(tok, ' ' order by i), '') as new_text
+            from kept group by 1)
+select t.doc_id,
+       case when a.doc_id is null then t.text
+            else coalesce(r.new_text, '') end as text,
+       coalesce(a.removed, 0)::BIGINT as n_removed
+from toks_t t
+left join agg a using (doc_id)
+left join rebuilt r using (doc_id)
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 72 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 73 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
 # assert, P4/J1→q22, T1→q43, F8→q40, P6/F10→q46, U1→byte-parity suite,
 # U4→x55/recall tests, A4+J7→q21/q34, live views→q46/q47 + test_metadata,
-# X6→test_politeness) — scripts/check_oracle.py still verifies all 72
+# X6→test_politeness) — scripts/check_oracle.py still verifies all 73
 # every run.
 SPARK_QUERIES = {
     # -- oracle-backed, in the driver's 50-entry window ------------------
@@ -2627,6 +2679,7 @@ SPARK_QUERIES = {
     "q78_streaming_dedup": q78_streaming_dedup,
     "q79_pipeline_v2": q79_pipeline_v2,
     "q80_duplicate_spans": q80_duplicate_spans,
+    "q81_remove_duplicate_spans": q81_remove_duplicate_spans,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -2711,6 +2764,7 @@ ORACLE_SQL = {
     "q78_streaming_dedup": _SQL_Q23,
     "q79_pipeline_v2": _sql_q79(),
     "q80_duplicate_spans": _sql_q80(),
+    "q81_remove_duplicate_spans": _sql_q81(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),

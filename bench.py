@@ -204,8 +204,9 @@ HEADLINE = [
     "q74_repetition_signals",
     "q76_temperature_sample",
     "q77_pack_sequences",
-    # round-5 batch 3: ExactSubstr duplicated-span dedup
+    # round-5 batch 3: ExactSubstr duplicated-span dedup (detect + cut)
     "q80_duplicate_spans",
+    "q81_remove_duplicate_spans",
 ]
 
 

@@ -720,6 +720,35 @@ def test_duplicate_spans_min_count_and_positions(spark):
     assert DD.duplicate_spans(docs, n=3, min_count=3).count() == 3
 
 
+def test_remove_duplicate_spans_cuts_and_passthrough(spark):
+    """ExactSubstr removal: cut docs lose exactly their spans (order kept),
+    untouched docs pass through byte-identical (double space preserved),
+    and a fully-duplicated doc survives with empty text and full cut count."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a1  a2 a3"),                 # unique; double space must survive
+            (2, "x1 x2 p q r x3 x4"),         # shares "p q r" with doc 3
+            (3, "y1 p q r y2 y3"),
+            (4, "m n o z1 z2 z3 m n o"),      # self-repeat: both islands cut
+            (5, "k l m"),                     # fully covered (dups doc 6)
+            (6, "k l m"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in DD.remove_duplicate_spans(docs, n=3).collect()
+    }
+    assert out == {
+        1: ("a1  a2 a3", 0),
+        2: ("x1 x2 x3 x4", 3),
+        3: ("y1 y2 y3", 3),
+        4: ("z1 z2 z3", 6),
+        5: ("", 3),
+        6: ("", 3),
+    }
+
+
 def test_bm25_matches_hand_computation(spark):
     import math
 

@@ -186,6 +186,25 @@ def test_duplicate_spans_two_exchanges_hash_only(spark, sf_dir):
             assert "_gram" not in line
 
 
+def test_remove_duplicate_spans_no_extra_shuffles(spark, sf_dir):
+    """The ExactSubstr removal plan must add ZERO keyed shuffles beyond
+    duplicate_spans' two: the (doc,island) span groupBy, the per-doc
+    collect_list groupBy, and the spans side of the corpus join all reuse
+    the doc-hash partitioning. The join strategy is Catalyst's choice (no
+    forced broadcast of a corpus-derived side), the cut itself is a
+    row-local lambda (no SinglePartition stage anywhere), and gram text
+    still never crosses an exchange."""
+    from arxiv_crawler_spark.operators.dedup import remove_duplicate_spans
+
+    df = remove_duplicate_spans(load(spark, sf_dir, "documents"), n=8)
+    p = plan_of(df, "simple")
+    assert "SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "_gram" not in line
+
+
 def test_bm25_no_sort_merge_joins(spark, sf_dir):
     """df and corpus stats are tiny by construction (|query| terms / one
     row) and must broadcast into the scoring join even with size-based
