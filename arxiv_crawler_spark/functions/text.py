@@ -24,7 +24,10 @@ __all__ = [
     "quality_score",
     "lang_guess",
     "fingerprint",
+    "redact_pii",
+    "pii_counts",
     "EN_STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
@@ -95,3 +98,40 @@ def fingerprint(c: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Near-dup-stable under token reordering."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(c))), " "))
+
+
+# PII scrubbing (the C4/RefinedWeb/FineWeb anonymization pass). Patterns are
+# deliberately restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs) so the DuckDB oracle replays them verbatim —
+# byte-parity is tested. Order matters and is part of the spec: emails
+# first (their dotted domains would otherwise feed the IP pattern), then
+# IPs, then phones (whose 3-3-4 shape could swallow IP remnants).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"(\+[0-9]{1,3}[- ])?\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Text with every PII_PATTERNS match replaced by its tag, applied in
+    spec order. Pure JVM regexp_replace chain — one projection, no shuffle,
+    whole-stage-codegen friendly."""
+    for _, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_counts(c: Column) -> list[Column]:
+    """Match counts per PII family, each measured on the text as the
+    PREVIOUS passes left it (sequential semantics — identical to what
+    redact_pii removes). Returns columns aliased n_<family>."""
+    out = []
+    for name, pat, rep in PII_PATTERNS:
+        out.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        c = F.regexp_replace(c, pat, rep)
+    return out

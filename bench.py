@@ -207,6 +207,8 @@ HEADLINE = [
     # round-5 batch 3: ExactSubstr duplicated-span dedup (detect + cut)
     "q80_duplicate_spans",
     "q81_remove_duplicate_spans",
+    # round-5 batch 4: PII scrubbing
+    "q82_redact_pii",
 ]
 
 

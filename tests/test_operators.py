@@ -749,6 +749,38 @@ def test_remove_duplicate_spans_cuts_and_passthrough(spark):
     }
 
 
+def test_redact_pii_families_order_and_counts(spark):
+    """PII scrubbing: each family redacts independently, passes apply in
+    spec order (emails first protects dotted domains from the IP pattern;
+    IPs before phones stops 3-3-4 digit runs matching IP remnants), counts
+    follow the sequential semantics, and clean text is untouched."""
+    from arxiv_crawler_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-1.co.uk or x@y.io today"),
+        (2, "gateway 10.0.255.7 and 192.168.1.1; not 1234.5.6.7"),
+        (3, "call +44 555-123-4567 or 555.123.4567"),
+        (4, "mixed u@v.org on 8.8.8.8 tel 555-000-1111"),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: (r["clean"], r["n_email"], r["n_ip"], r["n_phone"])
+        for r in df.select(
+            "id",
+            redact_pii(F.col("text")).alias("clean"),
+            *pii_counts(F.col("text")),
+        ).collect()
+    }
+    assert out == {
+        1: ("mail <EMAIL> or <EMAIL> today", 2, 0, 0),
+        2: ("gateway <IP> and <IP>; not 1234.5.6.7", 0, 2, 0),
+        3: ("call <PHONE> or <PHONE>", 0, 0, 2),
+        4: ("mixed <EMAIL> on <IP> tel <PHONE>", 1, 1, 1),
+        5: ("no pii here at all", 0, 0, 0),
+    }
+
+
 def test_bm25_matches_hand_computation(spark):
     import math
 
