@@ -38,6 +38,8 @@ __all__ = [
     "simhash32",
     "simhash64",
     "hamming32",
+    "lsh_index_build",
+    "lsh_index_probe",
     "simhash_near_pairs",
     "simhash64_near_pairs",
     "decontaminate",
@@ -165,6 +167,62 @@ def lsh_oversized_buckets(
         .groupBy("band_hash")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
         .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
+def lsh_index_build(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Persistable MinHash-LSH dedup index: ``(id, band_hash)`` rows, the
+    build half of build-once/probe-many incremental dedup. At 100 TB the
+    corpus is banded ONCE and the index parquet (two narrow columns,
+    bucketable by band_hash) is what every later crawl increment joins
+    against — re-shingling petabytes per increment is the anti-pattern this
+    split exists to avoid (same shape as the ANN index split in
+    operators/knn.py). Append the delta's own banding after each round to
+    keep the index current."""
+    return _banded(df, id_col, text_col, k, bands)
+
+
+def lsh_index_probe(
+    index: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Candidate near-dup pairs between NEW documents and an existing
+    :func:`lsh_index_build` index, without touching indexed text: the delta
+    is banded (Θ(|delta|) work) and joined to the index on band_hash — ids
+    normalized to ``id_a < id_b`` and deduplicated across bands. Within-
+    delta pairs are NOT emitted; union with ``lsh_candidate_pairs(delta)``
+    for full-increment semantics (q84 hash-checks exactly that composition
+    against a whole-corpus oracle). ``max_bucket`` caps the INDEX side's
+    bucket size — the corpus is where boilerplate mega-buckets accumulate
+    over rounds; audit drops with :func:`lsh_oversized_buckets`."""
+    if max_bucket is not None:
+        wc = Window.partitionBy("band_hash")
+        index = (
+            index.withColumn("_bsz", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    new = _banded(delta, id_col, text_col, k, bands)
+    return (
+        index.alias("i")
+        .join(new.alias("d"), F.col("i.band_hash") == F.col("d.band_hash"))
+        .filter(F.col("i.id") != F.col("d.id"))
+        .select(
+            F.least("i.id", "d.id").alias("id_a"),
+            F.greatest("i.id", "d.id").alias("id_b"),
+        )
+        .distinct()
     )
 
 

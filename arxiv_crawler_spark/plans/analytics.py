@@ -2693,15 +2693,56 @@ from per, tot
 """
 
 
+def q84_incremental_lsh(spark, sf):
+    """Incremental MinHash-LSH dedup (operators/dedup.py::lsh_index_build/
+    lsh_index_probe): the corpus (doc_id < 150) is banded ONCE into a
+    persistable (id, band_hash) index; a crawl increment (150 ≤ doc_id
+    < 250) is banded Θ(|delta|) and probed against it, then unioned with
+    the delta's internal pairs. The oracle re-derives the SAME pair set
+    from scratch over the whole 250-doc corpus minus the already-indexed
+    corpus-internal pairs — hash equality proves the build/probe split
+    loses nothing vs full re-banding (the 100-TB point: increments never
+    re-shingle the corpus)."""
+    d = load(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") < 150)
+    delta = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+    idx = DD.lsh_index_build(corpus)
+    cross = DD.lsh_index_probe(idx, delta, max_bucket=None)
+    within = DD.lsh_candidate_pairs(delta, max_bucket=None)
+    # disjoint by construction (cross pairs straddle the 150 boundary,
+    # within pairs sit above it) — plain union stays duplicate-free
+    return cross.unionByName(within)
+
+
+def _sql_q84() -> str:
+    sig = ", ".join(
+        "list_aggregate(list_transform(sh, s -> md5(s || '#%d')), 'min')" % i for i in range(8)
+    )
+    bands = ", ".join(
+        f"md5('{b}:' || sig[{b * 2 + 1}] || ',' || sig[{b * 2 + 2}])" for b in range(4)
+    )
+    return f"""
+with toks_t as (
+  select doc_id as id, {_SQL_TOKS} as toks from documents where doc_id < 250),
+sh_t as (select id, {_sql_shingles(3)} as sh from toks_t),
+sig_t as (select id, [{sig}] as sig from sh_t),
+band_t as (select id, unnest([{bands}]) as band_hash from sig_t)
+select distinct a.id as id_a, b.id as id_b
+from band_t a join band_t b
+  on a.band_hash = b.band_hash and a.id < b.id
+where not (a.id < 150 and b.id < 150)
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 75 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 76 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
 # assert, P4/J1→q22, T1→q43, F8→q40, P6/F10→q46, U1→byte-parity suite,
 # U4→x55/recall tests, A4+J7→q21/q34, live views→q46/q47 + test_metadata,
-# X6→test_politeness) — scripts/check_oracle.py still verifies all 75
+# X6→test_politeness) — scripts/check_oracle.py still verifies all 76
 # every run.
 SPARK_QUERIES = {
     # -- oracle-backed, in the driver's 50-entry window ------------------
@@ -2769,6 +2810,7 @@ SPARK_QUERIES = {
     "q81_remove_duplicate_spans": q81_remove_duplicate_spans,
     "q82_redact_pii": q82_redact_pii,
     "q83_source_mixture": q83_source_mixture,
+    "q84_incremental_lsh": q84_incremental_lsh,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -2856,6 +2898,7 @@ ORACLE_SQL = {
     "q81_remove_duplicate_spans": _sql_q81(),
     "q82_redact_pii": _sql_q82(),
     "q83_source_mixture": _SQL_Q83,
+    "q84_incremental_lsh": _sql_q84(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),

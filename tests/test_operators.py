@@ -749,6 +749,42 @@ def test_remove_duplicate_spans_cuts_and_passthrough(spark):
     }
 
 
+def test_lsh_index_probe_incremental_equivalence(spark):
+    """Build-once/probe-many: banding the corpus once and probing a delta
+    against the stored index, plus the delta's internal pairs, must equal
+    a from-scratch lsh_candidate_pairs run over corpus+delta minus the
+    corpus-internal pairs (which the index build already surfaced)."""
+    base = "shared boilerplate text that repeats across many documents here"
+    rows = []
+    for i in range(12):  # corpus: ids 0-11, two near-dup families
+        rows.append((i, base + (" alpha tail" if i % 2 else " beta tail") + f" u{i}"))
+    for i in range(12, 20):  # delta: ids 12-19, same families + one unique
+        rows.append((i, base + (" alpha tail" if i % 2 else " beta tail") + f" v{i}"))
+    rows.append((20, "completely unrelated singleton content with nothing shared"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = docs.filter("doc_id < 12")
+    delta = docs.filter("doc_id >= 12")
+
+    idx = DD.lsh_index_build(corpus)
+    incr = {
+        (r["id_a"], r["id_b"])
+        for r in DD.lsh_index_probe(idx, delta, max_bucket=None)
+        .unionByName(DD.lsh_candidate_pairs(delta, max_bucket=None))
+        .collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in DD.lsh_candidate_pairs(docs, max_bucket=None).collect()
+    }
+    old = {
+        (r["id_a"], r["id_b"])
+        for r in DD.lsh_candidate_pairs(corpus, max_bucket=None).collect()
+    }
+    assert incr == full - old
+    assert incr  # the families really do produce cross-boundary candidates
+    assert all(b >= 12 for _, b in incr) and 20 not in {i for p in incr for i in p}
+
+
 def test_redact_pii_families_order_and_counts(spark):
     """PII scrubbing: each family redacts independently, passes apply in
     spec order (emails first protects dotted domains from the IP pattern;
