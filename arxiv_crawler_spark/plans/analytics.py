@@ -2734,15 +2734,204 @@ where not (a.id < 150 and b.id < 150)
 """
 
 
+def q85_pipeline_v3(spark, sf):
+    """Curation pipeline v3 — v2 (q79) with the round-5 text-surgery
+    stages spliced in between dedup and sampling: repetition gate →
+    decontamination → exact dedup → **ExactSubstr span removal (q81)** →
+    **PII redaction (q82)** → temperature sampling → sequence packing,
+    still ONE declarative plan with a one-row audit. Packing now counts
+    tokens of the cut+redacted text, so the audit proves the surgery
+    stages really feed the downstream ones (n_tokens_packed shrinks by
+    exactly the removed spans)."""
+    from arxiv_crawler_spark.operators.dedup import (
+        decontaminate,
+        exact_dedup,
+        remove_duplicate_spans,
+    )
+    from arxiv_crawler_spark.operators.sampling import pack_sequences, temperature_sample
+    from arxiv_crawler_spark.operators.search import repetition_signals
+
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    rep_pass = (
+        repetition_signals(train, n_top=2, n_dup=3)
+        .filter(F.col("top_ngram_char_frac") <= 0.1)
+        .select("doc_id")
+    )
+    gated = train.join(rep_pass, "doc_id")
+    contaminated = decontaminate(gated, bench, n=3).select("doc_id")
+    clean = gated.join(contaminated, "doc_id", "left_anti")
+    keepers = exact_dedup(clean).select(F.col("keeper_id").alias("doc_id"))
+    deduped = clean.join(keepers, "doc_id")
+    cut = remove_duplicate_spans(deduped, n=8).join(
+        deduped.select("doc_id", "lang"), "doc_id"
+    )
+    red = cut.select(
+        "doc_id",
+        "lang",
+        "n_removed",
+        TX.redact_pii(F.col("text")).alias("text"),
+        *TX.pii_counts(F.col("text")),
+    )
+    sampled = red.join(
+        temperature_sample(red, "lang", 2.0, seed=42).select("doc_id"), "doc_id"
+    )
+    packed = pack_sequences(sampled, budget_tokens=512, n_buckets=8)
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        cnt(docs, "n_input")
+        .crossJoin(cnt(bench, "n_benchmark"))
+        .crossJoin(cnt(gated, "n_repetition_pass"))
+        .crossJoin(cnt(contaminated, "n_contaminated"))
+        .crossJoin(cnt(deduped, "n_after_dedup"))
+        .crossJoin(
+            cut.agg(
+                F.coalesce(F.sum("n_removed"), F.lit(0))
+                .cast("long")
+                .alias("n_span_tokens_removed")
+            )
+        )
+        .crossJoin(
+            red.agg(
+                F.coalesce(
+                    F.sum(F.col("n_email") + F.col("n_ip") + F.col("n_phone")),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_pii_redacted")
+            )
+        )
+        .crossJoin(cnt(sampled, "n_sampled"))
+        .crossJoin(
+            packed.agg(
+                F.sum("n_tokens").alias("n_tokens_packed"),
+                F.count_distinct(F.col("bucket"), F.col("pack_id")).alias("n_packs"),
+            )
+        )
+    )
+
+
+def _sql_q85() -> str:
+    # q79's chain with the ExactSubstr cut (q81's CTEs over the deduped
+    # set) and the PII chain (q82's patterns) spliced before sampling.
+    pii_steps = ""
+    prev = "cutd"
+    carried = []
+    for i, (name, pat, rep) in enumerate(TX.PII_PATTERNS):
+        carry = ", ".join(carried) + (", " if carried else "")
+        pii_steps += f""",
+r{i} as (select doc_id, lang, n_removed, {carry}len(regexp_extract_all(t, '{pat}'))::BIGINT as n_{name},
+               regexp_replace(t, '{pat}', '{rep}', 'g') as t
+        from {prev})"""
+        carried.append(f"n_{name}")
+        prev = f"r{i}"
+    return f"""
+with train as (select * from documents where doc_id % 50 <> 0),
+bench as (select * from documents where doc_id % 50 = 0),
+r_toks as (select doc_id, {_SQL_TOKS} as toks, length(text) as _len from train),
+r_gt as (select doc_id, case when len(toks) >= 2 then
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+1], ' '))
+         else [] end as g from r_toks),
+r_ct as (select doc_id, g2 as g, count(*) as cnt
+         from (select doc_id, unnest(g) as g2 from r_gt) group by 1, 2),
+r_top as (select doc_id, cnt * length(g) as tc from (
+            select doc_id, g, cnt,
+                   row_number() over (partition by doc_id order by cnt desc, g asc) as rn
+            from r_ct) where rn = 1),
+gated as (
+  select t.* from train t join (
+    select rt.doc_id from r_toks rt left join r_top using (doc_id)
+    where round(coalesce(tc, 0) / _len, 6) <= 0.1) ok using (doc_id)),
+b_sh as (select doc_id as bench_id, {_sql_shingles(3)} as sh
+         from (select doc_id, {_SQL_TOKS} as toks from bench)),
+bg as (select distinct bench_id, unnest(sh) as g from b_sh),
+t_sh as (select doc_id, {_sql_shingles(3)} as sh
+         from (select doc_id, {_SQL_TOKS} as toks from gated)),
+tg as (select doc_id, unnest(sh) as g from t_sh),
+contaminated as (select distinct tg.doc_id from tg join bg on tg.g = bg.g),
+clean as (select * from gated where doc_id not in (select doc_id from contaminated)),
+keep as (select min(doc_id) as doc_id from clean group by md5(text)),
+ded as (select c.* from clean c join keep using (doc_id)),
+d_toks as (select doc_id, text, lang, {_SQL_TOKS} as toks from ded),
+e_pg as (select doc_id, toks,
+              unnest(generate_series(1, greatest(len(toks) - 7, 0))) as pos
+       from d_toks),
+e_g as (select doc_id, pos, array_to_string(toks[pos:pos+7], ' ') as gram from e_pg),
+e_cov as (select doc_id, pos from (
+          select doc_id, pos, count(*) over (partition by gram) as cnt from e_g)
+        where cnt >= 2),
+e_brk as (select doc_id, pos,
+               case when pos > coalesce(max(pos + 7) over (
+                      partition by doc_id order by pos
+                      rows between unbounded preceding and 1 preceding), -2) + 1
+                    then 1 else 0 end as b
+        from e_cov),
+e_isl as (select doc_id, pos, sum(b) over (partition by doc_id order by pos) as island
+        from e_brk),
+e_spans as (select doc_id, min(pos) as s, max(pos) + 7 as e
+          from e_isl group by doc_id, island),
+e_agg as (select doc_id, sum(e - s + 1)::BIGINT as removed from e_spans group by 1),
+e_pos as (select t.doc_id, t.toks, unnest(generate_series(1, len(t.toks))) as i
+          from d_toks t join e_agg a using (doc_id)),
+e_kept as (select p.doc_id, p.i, p.toks[p.i] as tok from e_pos p
+         where not exists (select 1 from e_spans s
+                           where s.doc_id = p.doc_id and p.i between s.s and s.e)),
+e_rebuilt as (select doc_id, coalesce(string_agg(tok, ' ' order by i), '') as t
+            from e_kept group by 1),
+cutd as (select d.doc_id, d.lang,
+       case when a.doc_id is null then d.text
+            else coalesce(r.t, '') end as t,
+       coalesce(a.removed, 0)::BIGINT as n_removed
+from d_toks d
+left join e_agg a using (doc_id)
+left join e_rebuilt r using (doc_id)){pii_steps},
+red as (select doc_id, lang, n_removed, t as text, {', '.join(carried)} from {prev}),
+s_counts as (select lang, count(*) as nk from red group by 1),
+s_nmin as (select min(nk) as nm from s_counts),
+s_rates as (select lang, round(pow(nm::DOUBLE / nk, 0.5), 6) as rate
+            from s_counts cross join s_nmin),
+samp as (
+  select d.* from red d join s_rates r using (lang)
+  where ('0x' || substr(md5(d.doc_id::VARCHAR || '#42'), 1, 15))::BIGINT % 1000000
+        < floor(r.rate * 1000000)),
+p_base as (
+  select doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8)::INTEGER as bucket,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) as n_tokens
+  from samp),
+p_out as (
+  select bucket, n_tokens,
+         coalesce(sum(n_tokens) over (partition by bucket order by doc_id
+                   rows between unbounded preceding and 1 preceding), 0) // 512 as pack_id
+  from p_base)
+select
+  (select count(*) from documents) as n_input,
+  (select count(*) from bench) as n_benchmark,
+  (select count(*) from gated) as n_repetition_pass,
+  (select count(*) from contaminated) as n_contaminated,
+  (select count(*) from ded) as n_after_dedup,
+  (select coalesce(sum(n_removed), 0)::BIGINT from cutd) as n_span_tokens_removed,
+  (select coalesce(sum(n_email + n_ip + n_phone), 0)::BIGINT from red) as n_pii_redacted,
+  (select count(*) from samp) as n_sampled,
+  (select sum(n_tokens)::BIGINT from p_out) as n_tokens_packed,
+  (select count(distinct (bucket, pack_id)) from p_out) as n_packs
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 76 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 77 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
 # assert, P4/J1→q22, T1→q43, F8→q40, P6/F10→q46, U1→byte-parity suite,
 # U4→x55/recall tests, A4+J7→q21/q34, live views→q46/q47 + test_metadata,
-# X6→test_politeness) — scripts/check_oracle.py still verifies all 76
+# X6→test_politeness) — scripts/check_oracle.py still verifies all 77
 # every run.
 SPARK_QUERIES = {
     # -- oracle-backed, in the driver's 50-entry window ------------------
@@ -2811,6 +3000,7 @@ SPARK_QUERIES = {
     "q82_redact_pii": q82_redact_pii,
     "q83_source_mixture": q83_source_mixture,
     "q84_incremental_lsh": q84_incremental_lsh,
+    "q85_pipeline_v3": q85_pipeline_v3,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -2899,6 +3089,7 @@ ORACLE_SQL = {
     "q82_redact_pii": _sql_q82(),
     "q83_source_mixture": _SQL_Q83,
     "q84_incremental_lsh": _sql_q84(),
+    "q85_pipeline_v3": _sql_q85(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),
