@@ -296,8 +296,9 @@ def duplicate_span_positions(
     "Deduplicating Training Data Makes Language Models Better"). The paper
     builds a corpus suffix array; the idiomatic Spark equivalent for
     fixed-width matches is ONE keyed shuffle: explode gram starts, hash each
-    gram to 64 bits (xxhash64 — only the 8-byte hash crosses the exchange,
-    never the gram text), and count occurrences with a window over the hash.
+    gram to 64 bits (xxhash64 over the window of per-token xxhash64s — no
+    gram string is ever materialized, and only the 8-byte hash crosses the
+    exchange), and count occurrences with a window over the hash.
     Cost is Θ(total tokens) rows through one exchange — the same order as the
     tokenizer pass a training pipeline already pays, and there is no
     candidate-pair blowup because position survival is per-occurrence, not
@@ -306,20 +307,31 @@ def duplicate_span_positions(
     that matters.
     """
     toks = tokens(F.col(content_col))
+    # gram hash = xxhash64 over the window of per-token xxhash64s: no
+    # n-token gram STRING is ever materialized, so the posexplode emits
+    # bigint rows instead of n-token strings (A/B at 60M tokens: parity on
+    # wall clock — the shuffle dominates — with strictly less memory
+    # traffic; scripts/exactsubstr_probe.py)
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.xxhash64(F.slice(tok_hashes, i, n)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     pos_grams = df.select(
-        F.col(id_col), F.posexplode(grams).alias("_i", "_gram")
+        F.col(id_col), F.posexplode(grams).alias("_i", "_gh")
     ).select(
         F.col(id_col),
         (F.col("_i") + 1).cast("long").alias("pos"),
-        F.xxhash64(F.col("_gram")).alias("_gh"),
+        F.col("_gh"),
     )
+    # count-over-window (not groupBy + join-back): gram hashes are mostly
+    # unique, so a hash aggregate gets no map-side reduction, pays a
+    # 10^6-entry map per partition, and the join would recompute the
+    # explode — measured 1.4-2.8x slower than the window in A/B runs
+    # (scripts/exactsubstr_probe.py variants).
     cnt = F.count(F.lit(1)).over(Window.partitionBy("_gh"))
     return (
         pos_grams.withColumn("_cnt", cnt)
