@@ -903,6 +903,40 @@ class CrawlEngine:
         }
         return f.select("url", F.col("count").alias("priority"), "depth").orderBy(*orders[sort])
 
+    def near_dup_report(self, since_round: int | None = None) -> DataFrame:
+        """Near-duplicate candidate pairs (MinHash-LSH, operators/dedup.py)
+        over the live store's processed documents, url-keyed on their
+        extracted text. With ``since_round`` the report is INCREMENTAL:
+        rounds before it are the ``lsh_index_build`` side (at scale a
+        persisted (id, band_hash) parquet — a derived artifact rebuildable
+        from the fetched log, so it needs no extra commit machinery) and
+        only the newer rounds' documents are banded (Θ(|increment|)) and
+        probed against it, plus the increment's internal pairs — a crawl
+        increment never re-bands the archive. Without it, the bootstrap
+        path bands the whole corpus. Candidates only; verify downstream
+        with ``jaccard_pairs`` before acting on them."""
+        from arxiv_crawler_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            lsh_index_build,
+            lsh_index_probe,
+        )
+
+        docs = (
+            self.store.fetched()
+            .filter(F.col("status") == "processed")
+            .select("url", "round", "extracted_text")
+        )
+        if since_round is None:
+            return lsh_candidate_pairs(docs, id_col="url", text_col="extracted_text")
+        old = docs.filter(F.col("round") < since_round)
+        new = docs.filter(F.col("round") >= since_round)
+        idx = lsh_index_build(old, id_col="url", text_col="extracted_text")
+        return lsh_index_probe(
+            idx, new, id_col="url", text_col="extracted_text"
+        ).unionByName(
+            lsh_candidate_pairs(new, id_col="url", text_col="extracted_text")
+        )
+
     def seen_statuses(self) -> DataFrame:
         """Final URL-seen set: processed ∪ failed ∪ still-queued
         (crawler.py:57-59). One row per url: a self-citing paper can be both

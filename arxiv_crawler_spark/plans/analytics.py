@@ -2923,15 +2923,88 @@ select
 """
 
 
+def x70_near_dup_report(spark, sf):
+    """Near-dup candidate pairs over LIVE crawl state (crawl/scheduler.py::
+    near_dup_report): mini crawl, then url-keyed MinHash-LSH over the
+    store's extracted documents — the dedup operators running against the
+    engine's own fetched log, not a prepared table. The oracle replays the
+    reference crawl driver-side and re-derives the band keys with
+    hashlib.md5 in pure Python, so hash equality spans crawl + extraction
+    + store + LSH end-to-end."""
+    import tempfile
+
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="xq_neardup_"),
+        pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=True),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+    return eng.near_dup_report()
+
+
+def _py_lsh_pairs(texts: dict[str, str]) -> list[tuple[str, str]]:
+    """Pure-Python mirror of operators/dedup.py's banding (k=8, bands=4,
+    3-gram shingles, md5(shingle || '#i') min-hash, band key =
+    md5('b:' || sig[2b] || ',' || sig[2b+1]) with nulls skipped by
+    array_join semantics)."""
+    import hashlib
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    keys_of: dict[str, list[str]] = {}
+    for url, text in texts.items():
+        toks = [t for t in text.split(" ") if t]
+        sh = (
+            list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
+            if len(toks) >= 3
+            else []
+        )
+        sig = [min((md5(s + f"#{i}") for s in sh), default=None) for i in range(8)]
+        keys_of[url] = [
+            md5(f"{b}:" + ",".join(x for x in (sig[2 * b], sig[2 * b + 1]) if x is not None))
+            for b in range(4)
+        ]
+    urls = sorted(texts)
+    out = []
+    for i, a in enumerate(urls):
+        for b_url in urls[i + 1 :]:
+            if any(x == y for x, y in zip(keys_of[a], keys_of[b_url])):
+                out.append((a, b_url))
+    return out
+
+
+def _sql_x70() -> str:
+    from arxiv_crawler_spark.fixtures import gen_world
+
+    _, _, processed, url_of, _ = _oracle_crawl_state()
+    pdf = gen_world(n_docs=24, seed=42)
+    text_of = {row["url"]: row["text"] for _, row in pdf.iterrows()}
+    pairs = _py_lsh_pairs({url_of(a): text_of[url_of(a)] for a in processed})
+    if not pairs:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b "
+            "WHERE false"
+        )
+    rows = ",\n  ".join(f"({_sql_lit(a)}, {_sql_lit(b)})" for a, b in pairs)
+    return "SELECT * FROM (VALUES\n  " + rows + ")\n AS t(id_a, id_b)"
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 77 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 78 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
 # assert, P4/J1→q22, T1→q43, F8→q40, P6/F10→q46, U1→byte-parity suite,
 # U4→x55/recall tests, A4+J7→q21/q34, live views→q46/q47 + test_metadata,
-# X6→test_politeness) — scripts/check_oracle.py still verifies all 77
+# X6→test_politeness) — scripts/check_oracle.py still verifies all 78
 # every run.
 SPARK_QUERIES = {
     # -- oracle-backed, in the driver's 50-entry window ------------------
@@ -3001,6 +3074,7 @@ SPARK_QUERIES = {
     "q83_source_mixture": q83_source_mixture,
     "q84_incremental_lsh": q84_incremental_lsh,
     "q85_pipeline_v3": q85_pipeline_v3,
+    "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
     "q08_union_dedup": q08_union_dedup,
@@ -3090,6 +3164,7 @@ ORACLE_SQL = {
     "q83_source_mixture": _SQL_Q83,
     "q84_incremental_lsh": _sql_q84(),
     "q85_pipeline_v3": _sql_q85(),
+    "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
     "x52_knn_lsh": _sql_x52(),

@@ -110,3 +110,60 @@ def test_cited_by_contexts_first_match(engine, world_pdf):
             world_pdf[world_pdf["url"] == citing_url].iloc[0]["html"]
         )
         assert all(t == meta["title"] for _, _, t in rows)
+
+
+def test_near_dup_report_finds_planted_pair_incrementally(spark, tmp_path):
+    """near_dup_report over live store state: a planted content twin (doc
+    B's html copied from doc A) is surfaced as an LSH candidate pair, the
+    incremental path (index = rounds before B, probe = B's round onward)
+    finds the SAME pair without re-banding the archive, and incremental ∪
+    old-internal equals the full report exactly."""
+    from arxiv_crawler_spark.extraction.tei import extract_citations
+    from arxiv_crawler_spark.extraction.tei import canonical_extraction_json
+    from arxiv_crawler_spark.fixtures import arxiv_id_of, url_of
+
+    pdf = gen_world(n_docs=10, seed=42)
+    a_i, b_i = 1, 4
+    pdf.loc[b_i, "html"] = pdf.loc[a_i, "html"]
+    pdf.loc[b_i, "text"] = canonical_extraction_json(
+        extract_citations(pdf.loc[b_i, "html"])
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "store_neardup"),
+        spark_pages(spark, pdf),
+        CrawlConfig(mode="replay", max_papers=2, n_buckets=8),
+    )
+    eng.bootstrap([arxiv_id_of(a_i), arxiv_id_of(b_i)])
+    eng.run()
+
+    fetched = {
+        r["url"]: r["round"]
+        for r in eng.store.fetched().filter("status = 'processed'").collect()
+    }
+    u_a, u_b = url_of(a_i), url_of(b_i)
+    assert set(fetched) == {u_a, u_b}
+    pair = tuple(sorted((u_a, u_b)))
+
+    full = {(r["id_a"], r["id_b"]) for r in eng.near_dup_report().collect()}
+    assert pair in full
+
+    since = max(fetched.values())  # B's round: index side is A alone
+    assert fetched[u_b] == since and fetched[u_a] < since
+    incr = {
+        (r["id_a"], r["id_b"])
+        for r in eng.near_dup_report(since_round=since).collect()
+    }
+    assert pair in incr
+    old = eng.store.fetched().filter(
+        f"status = 'processed' and round < {since}"
+    )
+    from arxiv_crawler_spark.operators.dedup import lsh_candidate_pairs
+
+    old_internal = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            old.select("url", "extracted_text"), id_col="url", text_col="extracted_text"
+        ).collect()
+    }
+    assert incr | old_internal == full
