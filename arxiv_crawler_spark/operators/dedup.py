@@ -46,6 +46,7 @@ __all__ = [
     "duplicate_span_positions",
     "duplicate_spans",
     "remove_duplicate_spans",
+    "winnow_fingerprints",
 ]
 
 
@@ -439,6 +440,61 @@ def remove_duplicate_spans(
             .alias(content_col),
             F.coalesce(F.col("_removed"), F.lit(0)).cast("long").alias("n_removed"),
         )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    n: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    MOSS algorithm): hash every token n-gram, slide a window over ``w``
+    consecutive gram hashes, keep each full window's minimum hash with the
+    RIGHTMOST position winning ties, emit distinct ``(id, pos,
+    gram_hash)``. The guarantee: any token run of ≥ w + n - 1 tokens
+    shared by two documents contributes at least one identical
+    fingerprint, at ~2/(w+1) of the grams' storage — the
+    position-tracking fingerprint family between :func:`exact_dedup`'s
+    whole-doc hash and ExactSubstr's full span scan.
+
+    Spark shape: ONE doc-keyed shuffle (posexplode → per-doc ordered
+    window); the rightmost-tie rule is free — the frame aggregate is a
+    struct-min over (hash, -pos) — and the trailing distinct reuses the
+    doc-hash partitioning. ``hash_fn`` maps the gram string to a 64-bit
+    column: default xxhash64 (production); pass the md5-60 bridge for
+    DuckDB-parity oracles (q86).
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    toks = tokens(F.col(content_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pg = df.select(F.col(id_col), F.posexplode(grams).alias("_i", "_g")).select(
+        F.col(id_col),
+        (F.col("_i") + 1).cast("long").alias("_p"),
+        hash_fn(F.col("_g")).alias("_gh"),
+    )
+    win = Window.partitionBy(id_col).orderBy("_p").rowsBetween(-(w - 1), 0)
+    return (
+        pg.withColumn(
+            "_w", F.min(F.struct(F.col("_gh"), (-F.col("_p")).alias("_np"))).over(win)
+        )
+        .filter(F.col("_p") >= w)  # full windows only
+        .select(
+            id_col,
+            (-F.col("_w._np")).alias("pos"),
+            F.col("_w._gh").alias("gram_hash"),
+        )
+        .distinct()
     )
 
 

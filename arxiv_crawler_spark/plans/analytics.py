@@ -2996,15 +2996,48 @@ def _sql_x70() -> str:
     return "SELECT * FROM (VALUES\n  " + rows + ")\n AS t(id_a, id_b)"
 
 
+def q86_winnow_fingerprints(spark, sf):
+    """Robust winnowing fingerprints (operators/dedup.py, the MOSS
+    algorithm): per document, the rightmost-minimum gram hash of every
+    w-gram window — the guaranteed-coverage fingerprint family between
+    whole-doc hashing and ExactSubstr's full scan. md5-60 gram hash so
+    DuckDB replays the selection bit-for-bit (production default is
+    xxhash64)."""
+    from arxiv_crawler_spark.operators.dedup import winnow_fingerprints
+
+    md5_60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return winnow_fingerprints(
+        load(spark, sf, "documents"), n=4, w=4, hash_fn=md5_60
+    )
+
+
+_SQL_Q86 = f"""
+with toks_t as (select doc_id, {_SQL_TOKS} as toks from documents),
+pg as (select doc_id, toks,
+              unnest(generate_series(1, greatest(len(toks) - 3, 0))) as pos
+       from toks_t),
+g as (select doc_id, pos,
+             ('0x' || substr(md5(array_to_string(toks[pos:pos+3], ' ')), 1, 15))::BIGINT as gh
+      from pg),
+sel as (select doc_id, pos,
+               min(struct_pack(gh := gh, np := -pos)) over (
+                 partition by doc_id order by pos
+                 rows between 3 preceding and current row) as w
+        from g),
+full_w as (select doc_id, w from sel where pos >= 4)
+select distinct doc_id, -(w.np) as pos, w.gh as gram_hash from full_w
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 78 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 79 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
 # assert, P4/J1→q22, T1→q43, F8→q40, P6/F10→q46, U1→byte-parity suite,
 # U4→x55/recall tests, A4+J7→q21/q34, live views→q46/q47 + test_metadata,
-# X6→test_politeness) — scripts/check_oracle.py still verifies all 78
+# X6→test_politeness) — scripts/check_oracle.py still verifies all 79
 # every run.
 SPARK_QUERIES = {
     # -- oracle-backed, in the driver's 50-entry window ------------------
@@ -3074,6 +3107,7 @@ SPARK_QUERIES = {
     "q83_source_mixture": q83_source_mixture,
     "q84_incremental_lsh": q84_incremental_lsh,
     "q85_pipeline_v3": q85_pipeline_v3,
+    "q86_winnow_fingerprints": q86_winnow_fingerprints,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3164,6 +3198,7 @@ ORACLE_SQL = {
     "q83_source_mixture": _SQL_Q83,
     "q84_incremental_lsh": _sql_q84(),
     "q85_pipeline_v3": _sql_q85(),
+    "q86_winnow_fingerprints": _SQL_Q86,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

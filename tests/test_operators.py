@@ -785,6 +785,59 @@ def test_lsh_index_probe_incremental_equivalence(spark):
     assert all(b >= 12 for _, b in incr) and 20 not in {i for p in incr for i in p}
 
 
+def test_winnow_fingerprints_guarantee_and_ties(spark):
+    """Winnowing invariants: (a) a token run of >= w+n-1 tokens shared by
+    two docs yields at least one identical (hash) fingerprint; (b) short
+    docs (< w full windows... fewer grams than w) emit nothing; (c) a
+    window whose minimum gram repeats picks the RIGHTMOST occurrence; (d)
+    selection is ~1 fingerprint per window span, far fewer than grams."""
+    shared = "s1 s2 s3 s4 s5 s6 s7"  # w+n-1 = 7 tokens at n=4, w=4
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + shared + " a4 a5 a6"),
+            (2, "b1 " + shared + " b2 b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5 c6"),              # 3 grams < w → no full window
+            (4, "t x t x t x t x t x"),            # periodic: repeated grams, ties
+        ],
+        ["doc_id", "text"],
+    )
+    fp = DD.winnow_fingerprints(docs, n=4, w=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+    # (b): doc 3 has 3 grams — no window of 4 — nothing emitted
+    assert 3 not in by_doc
+    # (a): docs 1 and 2 share at least one fingerprint HASH from the run
+    h1 = {h for _, h in by_doc[1]}
+    h2 = {h for _, h in by_doc[2]}
+    assert h1 & h2
+    # (c)+(d): doc 4's grams alternate between two values; every window of
+    # 4 contains both, so the rightmost minimal occurrence is always at
+    # window-end or one before — selection collapses to few fingerprints
+    assert 1 <= len(by_doc[4]) <= 4
+    # rightmost-tie: recompute driver-side and compare exactly
+    toks = "t x t x t x t x t x".split()
+    import hashlib
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+    grams = [(i + 1, h(" ".join(toks[i:i + 4]))) for i in range(len(toks) - 3)]
+    want = set()
+    for e in range(3, len(grams)):
+        win = grams[e - 3:e + 1]
+        m = min(g for _, g in win)
+        pos = max(p for p, g in win if g == m)
+        want.add((pos, m))
+    got_md5 = {
+        (r["pos"], r["gram_hash"])
+        for r in DD.winnow_fingerprints(
+            docs.filter("doc_id = 4"), n=4, w=4,
+            hash_fn=lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        ).collect()
+    }
+    assert got_md5 == want
+
+
 def test_redact_pii_families_order_and_counts(spark):
     """PII scrubbing: each family redacts independently, passes apply in
     spec order (emails first protects dotted domains from the IP pattern;
