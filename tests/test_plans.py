@@ -205,6 +205,19 @@ def test_remove_duplicate_spans_no_extra_shuffles(spark, sf_dir):
             assert "_gram" not in line
 
 
+def test_winnow_fingerprints_single_doc_shuffle(spark, sf_dir):
+    """Winnowing must cost exactly ONE keyed exchange: the doc-hash
+    shuffle for the per-doc ordered window; the trailing distinct groups
+    on (id, pos, hash) whose clustering the doc partitioning already
+    satisfies. No broadcast, no single-partition stage."""
+    from arxiv_crawler_spark.operators.dedup import winnow_fingerprints
+
+    df = winnow_fingerprints(load(spark, sf_dir, "documents"), n=4, w=4)
+    p = plan_of(df, "simple")
+    assert "BroadcastExchange" not in p and "SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
 def test_bm25_no_sort_merge_joins(spark, sf_dir):
     """df and corpus stats are tiny by construction (|query| terms / one
     row) and must broadcast into the scoring join even with size-based
