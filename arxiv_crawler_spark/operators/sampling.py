@@ -21,9 +21,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from arxiv_crawler_spark.functions.hashing import md5_hash64
-from arxiv_crawler_spark.functions.text import token_count
+from arxiv_crawler_spark.functions.text import quality_score, token_count
 
-__all__ = ["temperature_sample", "pack_sequences"]
+__all__ = ["temperature_sample", "pack_sequences", "select_token_budget"]
 
 
 def temperature_sample(
@@ -106,3 +106,60 @@ def pack_sequences(
             "pack_id", F.floor(F.col("start_offset") / F.lit(budget_tokens)).cast("long")
         )
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbins: int = 1000,
+) -> DataFrame:
+    """Quality-ranked corpus selection under a global token budget (the
+    FineWeb-edu shape: rank every document by a quality score, keep the
+    best until the budget fills) WITHOUT a global sort. Selection rule:
+    order by (score desc, id asc) and keep the prefix whose running token
+    sum stays ≤ ``budget_tokens`` — tokens are non-negative, so the
+    prefix is exactly ``cumsum ≤ budget`` and a naive sorted-cumsum SQL
+    restatement is the oracle (q87).
+
+    Scale shape: scores are rounded to 6 decimals (the cross-engine float
+    contract every quality query already uses) and histogram-binned; the
+    per-bin token totals — ≤ ``nbins`` rows, a bounded driver aggregate —
+    locate the cutoff bin, bins above it are selected with a scan-fused
+    filter (no shuffle, no sort), and only the single cutoff bin pays an
+    ordered window for the partial prefix. Bin boundaries only ROUTE rows
+    (equal scores always share a bin and floor() is monotone), so the
+    result is bit-identical to the global sort at any ``nbins``.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.round(quality_score(F.col(text_col)), 6).alias("score"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    binned = base.withColumn(
+        "_bin",
+        F.least(F.lit(nbins - 1), F.floor(F.col("score") * nbins)).cast("int"),
+    )
+    hist = {
+        int(r["_bin"]): int(r["_t"])
+        for r in binned.groupBy("_bin").agg(F.sum("n_tokens").alias("_t")).collect()
+    }
+    running, cutoff, remainder = 0, None, 0
+    for b in sorted(hist, reverse=True):
+        if running + hist[b] <= budget_tokens:
+            running += hist[b]
+        else:
+            cutoff, remainder = b, budget_tokens - running
+            break
+    if cutoff is None:
+        return base
+    full = binned.filter(F.col("_bin") > cutoff)
+    w = Window.partitionBy("_bin").orderBy(F.desc("score"), F.asc(id_col))
+    part = (
+        binned.filter(F.col("_bin") == cutoff)
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .filter(F.col("_cum") <= remainder)
+        .drop("_cum")
+    )
+    return full.unionByName(part).select(id_col, "score", "n_tokens")

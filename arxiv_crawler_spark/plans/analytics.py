@@ -3029,15 +3029,51 @@ select distinct doc_id, -(w.np) as pos, w.gh as gram_hash from full_w
 """
 
 
+def q87_token_budget_select(spark, sf):
+    """Quality-ranked selection under a global token budget
+    (operators/sampling.py::select_token_budget): best documents by q28's
+    quality score until 20k tokens fill. The engine locates the cutoff
+    via a bounded score-histogram (no global sort — only the single
+    cutoff bin pays an ordered window); the oracle is the naive
+    sorted-cumsum restatement, so hash equality proves the two-phase plan
+    is bit-identical to the global rule."""
+    from arxiv_crawler_spark.operators.sampling import select_token_budget
+
+    return select_token_budget(load(spark, sf, "documents"), budget_tokens=20_000)
+
+
+_SQL_Q87 = f"""
+with t as (
+  select doc_id, text, {_SQL_TOKS} as toks, len(text) as nc from documents),
+m as (
+  select doc_id, len(toks) as nt,
+         (len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+        + len(list_filter(toks, x -> x = 'of')) + len(list_filter(toks, x -> x = 'and'))
+        + len(list_filter(toks, x -> x = 'to')) + len(list_filter(toks, x -> x = 'in'))) as stops,
+         nc - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) as punct,
+         nc
+  from t),
+base as (
+  select doc_id,
+         round(least(1.0, (case when nt > 0 then stops::DOUBLE / nt else 0.0 end) * 5.0) * 0.4
+             + least(1.0, nt::DOUBLE / 100.0) * 0.3
+             + (1.0 - (case when nc > 0 then punct::DOUBLE / nc else 0.0 end)) * 0.3, 6) as score,
+         nt::BIGINT as n_tokens
+  from m),
+c as (select *, sum(n_tokens) over (order by score desc, doc_id) as cum from base)
+select doc_id, score, n_tokens from c where cum <= 20000
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 79 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 80 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
 # assert, P4/J1→q22, T1→q43, F8→q40, P6/F10→q46, U1→byte-parity suite,
 # U4→x55/recall tests, A4+J7→q21/q34, live views→q46/q47 + test_metadata,
-# X6→test_politeness) — scripts/check_oracle.py still verifies all 79
+# X6→test_politeness) — scripts/check_oracle.py still verifies all 80
 # every run.
 SPARK_QUERIES = {
     # -- oracle-backed, in the driver's 50-entry window ------------------
@@ -3108,6 +3144,7 @@ SPARK_QUERIES = {
     "q84_incremental_lsh": q84_incremental_lsh,
     "q85_pipeline_v3": q85_pipeline_v3,
     "q86_winnow_fingerprints": q86_winnow_fingerprints,
+    "q87_token_budget_select": q87_token_budget_select,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3199,6 +3236,7 @@ ORACLE_SQL = {
     "q84_incremental_lsh": _sql_q84(),
     "q85_pipeline_v3": _sql_q85(),
     "q86_winnow_fingerprints": _SQL_Q86,
+    "q87_token_budget_select": _SQL_Q87,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

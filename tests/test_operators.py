@@ -838,6 +838,45 @@ def test_winnow_fingerprints_guarantee_and_ties(spark):
     assert got_md5 == want
 
 
+def test_select_token_budget_matches_global_rule(spark):
+    """The two-phase histogram selection must equal the naive global rule
+    (sort by score desc, id asc; keep prefix with cumsum <= budget) at
+    any nbins — including nbins=1, where EVERY doc lands in the cutoff
+    bin and the partial-prefix window does all the work — and the
+    everything-fits path returns the whole corpus."""
+    from arxiv_crawler_spark.functions.text import quality_score, token_count
+    from arxiv_crawler_spark.operators.sampling import select_token_budget
+
+    texts = [
+        (i, " ".join(f"w{i}x{j}" for j in range(5 + (i * 7) % 23)) + (" the of and" if i % 3 else ""))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    scored = sorted(
+        docs.select(
+            "doc_id",
+            F.round(quality_score(F.col("text")), 6).alias("s"),
+            token_count(F.col("text")).cast("long").alias("t"),
+        ).collect(),
+        key=lambda r: (-r["s"], r["doc_id"]),
+    )
+    budget = sum(r["t"] for r in scored) // 3
+    want, cum = set(), 0
+    for r in scored:
+        cum += r["t"]
+        if cum > budget:
+            break
+        want.add(r["doc_id"])
+    for nbins in (1, 7, 1000):
+        got = {
+            r["doc_id"]
+            for r in select_token_budget(docs, budget, nbins=nbins).collect()
+        }
+        assert got == want, nbins
+    n_all = docs.count()
+    assert select_token_budget(docs, 10**9).count() == n_all
+
+
 def test_redact_pii_families_order_and_counts(spark):
     """PII scrubbing: each family redacts independently, passes apply in
     spec order (emails first protects dotted domains from the IP pattern;
