@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from arxiv_crawler_spark.functions.text import tokens
 
-__all__ = ["bm25_topk", "repetition_signals"]
+__all__ = ["bm25_topk", "repetition_signals", "lm_perplexity"]
 
 
 def bm25_topk(
@@ -170,5 +170,73 @@ def repetition_signals(
                 / F.size("_lines").cast("double"),
                 6,
             ).alias("dup_line_frac"),
+        )
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): per-document
+    cross-entropy (bits/bigram, round-6) under a Laplace-smoothed bigram
+    model trained on ``reference`` (default: the corpus itself — the
+    self-scoring mode CCNet buckets head/middle/tail on). Lower = more
+    typical text. Model spec, mirrored verbatim by the q88 oracle:
+    P(w2|w1) = (c(w1,w2) + α) / (c(w1→·) + α·V), where c(w1→·) is w1's
+    continuation count and V the distinct-continuation vocabulary; score
+    = −avg log2 P over the document's bigrams (docs with none are
+    dropped).
+
+    Scale shape: the model IS three aggregates of the reference's bigram
+    stream (bigram counts, continuation counts, one scalar V). Scoring
+    joins the corpus bigram stream against them — co-keyed shuffle joins
+    on (w1,w2) then (w1), never a driver-side model object — and reduces
+    per doc with one keyed aggregate. Everything stays JVM expressions;
+    with an external ``reference`` the model tables are typically small
+    enough that AQE broadcasts them into the scoring scan.
+    """
+    ref = reference if reference is not None else df
+
+    def bigram_stream(frame: DataFrame, keep_id: bool) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(*cols, F.explode(pairs).alias("_p")).select(
+            *([id_col] if keep_id else []),
+            F.col("_p.w1").alias("w1"),
+            F.col("_p.w2").alias("w2"),
+        )
+
+    rb = bigram_stream(ref, keep_id=False)
+    bc = rb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    uc = rb.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu"))
+    v = rb.agg(F.count_distinct(F.col("w2")).alias("_v"))
+
+    p = (
+        (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(alpha) * F.col("_v"))
+    )
+    return (
+        bigram_stream(df, keep_id=True)
+        .join(bc, ["w1", "w2"], "left")
+        .join(uc, ["w1"], "left")
+        .crossJoin(v)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 6).alias("bits_per_bigram"),
         )
     )

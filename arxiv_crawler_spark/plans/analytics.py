@@ -3065,15 +3065,46 @@ select doc_id, score, n_tokens from c where cum <= 20000
 """
 
 
+def q88_lm_perplexity(spark, sf):
+    """CCNet-style bigram-LM quality scoring (operators/search.py::
+    lm_perplexity): per-doc cross-entropy under a Laplace-smoothed bigram
+    model trained on the corpus itself — the head/middle/tail bucketing
+    signal of CCNet. Model = three aggregates of the bigram stream;
+    scoring = co-keyed joins, one per-doc reduction."""
+    from arxiv_crawler_spark.operators.search import lm_perplexity
+
+    return lm_perplexity(load(spark, sf, "documents"))
+
+
+_SQL_Q88 = f"""
+with toks_t as (select doc_id, {_SQL_TOKS} as toks from documents),
+pg as (select doc_id, unnest(generate_series(1, len(toks) - 1)) as i, toks
+       from toks_t where len(toks) >= 2),
+bg as (select doc_id, toks[i] as w1, toks[i+1] as w2 from pg),
+bc as (select w1, w2, count(*) as cb from bg group by 1, 2),
+uc as (select w1, count(*) as cu from bg group by 1),
+v as (select count(distinct w2) as v from bg),
+s as (select g.doc_id,
+             -log2((coalesce(bc.cb, 0) + 1.0)
+                   / (coalesce(uc.cu, 0) + 1.0 * v.v)) as t
+      from bg g
+      left join bc using (w1, w2)
+      left join uc using (w1)
+      cross join v)
+select doc_id, count(*) as n_bigrams, round(avg(t), 6) as bits_per_bigram
+from s group by doc_id
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 80 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 81 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
 # assert, P4/J1→q22, T1→q43, F8→q40, P6/F10→q46, U1→byte-parity suite,
 # U4→x55/recall tests, A4+J7→q21/q34, live views→q46/q47 + test_metadata,
-# X6→test_politeness) — scripts/check_oracle.py still verifies all 80
+# X6→test_politeness) — scripts/check_oracle.py still verifies all 81
 # every run.
 SPARK_QUERIES = {
     # -- oracle-backed, in the driver's 50-entry window ------------------
@@ -3145,6 +3176,7 @@ SPARK_QUERIES = {
     "q85_pipeline_v3": q85_pipeline_v3,
     "q86_winnow_fingerprints": q86_winnow_fingerprints,
     "q87_token_budget_select": q87_token_budget_select,
+    "q88_lm_perplexity": q88_lm_perplexity,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3237,6 +3269,7 @@ ORACLE_SQL = {
     "q85_pipeline_v3": _sql_q85(),
     "q86_winnow_fingerprints": _SQL_Q86,
     "q87_token_budget_select": _SQL_Q87,
+    "q88_lm_perplexity": _SQL_Q88,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

@@ -877,6 +877,48 @@ def test_select_token_budget_matches_global_rule(spark):
     assert select_token_budget(docs, 10**9).count() == n_all
 
 
+def test_lm_perplexity_matches_hand_model(spark):
+    """Bigram-LM scoring vs a hand-built Laplace model: counts, vocab,
+    smoothing, and the bits-per-bigram average all reproduce exactly;
+    sub-2-token docs are dropped; an external reference scores unseen
+    bigrams at the smoothing floor."""
+    import math
+
+    from arxiv_crawler_spark.operators.search import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "z"), (4, "c a b")],
+        ["doc_id", "text"],
+    )
+    # corpus bigram stream: doc1: (a,b)(b,a)(a,b)(b,c)  doc2: (a,b)  doc4: (c,a)(a,b)
+    cb = {("a","b"): 4, ("b","a"): 1, ("b","c"): 1, ("c","a"): 1}
+    cu = {"a": 4, "b": 2, "c": 1}
+    V = 3  # distinct continuations {b, a, c}
+    def bits(pairs):
+        return round(
+            sum(-math.log2((cb.get(p, 0) + 1.0) / (cu[p[0]] + V)) for p in pairs)
+            / len(pairs), 6)
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_bigram"])
+        for r in lm_perplexity(docs).collect()
+    }
+    assert out == {
+        1: (4, bits([("a","b"), ("b","a"), ("a","b"), ("b","c")])),
+        2: (1, bits([("a","b")])),
+        4: (2, bits([("c","a"), ("a","b")])),
+    }
+    # external reference: doc with a bigram the model never saw (w1 unseen)
+    ref = spark.createDataFrame([(10, "a b a b c")], ["doc_id", "text"])
+    ext = {
+        r["doc_id"]: r["bits_per_bigram"]
+        for r in lm_perplexity(
+            spark.createDataFrame([(5, "q r")], ["doc_id", "text"]), reference=ref
+        ).collect()
+    }
+    # model from ref alone: cb/cu over doc10, V = |{b,a,c}| = 3; unseen w1 → p = 1/V
+    assert ext == {5: round(-math.log2(1.0 / 3.0), 6)}
+
+
 def test_redact_pii_families_order_and_counts(spark):
     """PII scrubbing: each family redacts independently, passes apply in
     spec order (emails first protects dotted domains from the IP pattern;
