@@ -3096,15 +3096,57 @@ from s group by doc_id
 """
 
 
+def q89_ccnet_buckets(spark, sf):
+    """CCNet's head/middle/tail corpus split: tercile cuts on the q88
+    perplexity signal (exact interpolated percentiles — a 2-value scalar
+    aggregate cross-joined back, the q10-proven bridge to DuckDB's
+    quantile_cont), rolled up per bucket. The interpolated cutoffs fall
+    between distinct round-6 doc scores, so bucket membership is
+    ulp-safe."""
+    from arxiv_crawler_spark.operators.search import lm_perplexity
+
+    scored = lm_perplexity(load(spark, sf, "documents"))
+    f1, f2 = 1.0 / 3.0, 2.0 / 3.0
+    cuts = scored.agg(
+        F.expr(f"percentile(bits_per_bigram, array({f1!r}, {f2!r}))").alias("_c")
+    )
+    return (
+        scored.crossJoin(cuts)
+        .select(
+            "bits_per_bigram",
+            F.when(F.col("bits_per_bigram") <= F.col("_c")[0], "head")
+            .when(F.col("bits_per_bigram") <= F.col("_c")[1], "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("bits_per_bigram"), 6).alias("mean_bits"),
+        )
+    )
+
+
+_SQL_Q89 = f"""
+with scored as ({_SQL_Q88}),
+cuts as (select quantile_cont(bits_per_bigram, {1.0 / 3.0!r}) as c1,
+                quantile_cont(bits_per_bigram, {2.0 / 3.0!r}) as c2 from scored)
+select case when bits_per_bigram <= c1 then 'head'
+            when bits_per_bigram <= c2 then 'middle' else 'tail' end as bucket,
+       count(*) as n_docs, round(avg(bits_per_bigram), 6) as mean_bits
+from scored cross join cuts group by 1
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 81 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 82 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
 # assert, P4/J1→q22, T1→q43, F8→q40, P6/F10→q46, U1→byte-parity suite,
 # U4→x55/recall tests, A4+J7→q21/q34, live views→q46/q47 + test_metadata,
-# X6→test_politeness) — scripts/check_oracle.py still verifies all 81
+# X6→test_politeness) — scripts/check_oracle.py still verifies all 82
 # every run.
 SPARK_QUERIES = {
     # -- oracle-backed, in the driver's 50-entry window ------------------
@@ -3177,6 +3219,7 @@ SPARK_QUERIES = {
     "q86_winnow_fingerprints": q86_winnow_fingerprints,
     "q87_token_budget_select": q87_token_budget_select,
     "q88_lm_perplexity": q88_lm_perplexity,
+    "q89_ccnet_buckets": q89_ccnet_buckets,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3270,6 +3313,7 @@ ORACLE_SQL = {
     "q86_winnow_fingerprints": _SQL_Q86,
     "q87_token_budget_select": _SQL_Q87,
     "q88_lm_perplexity": _SQL_Q88,
+    "q89_ccnet_buckets": _SQL_Q89,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
