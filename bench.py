@@ -209,6 +209,8 @@ HEADLINE = [
     "q81_remove_duplicate_spans",
     # round-5 batch 4: PII scrubbing
     "q82_redact_pii",
+    # round-5 batch 6: CCNet bigram-LM quality scoring
+    "q88_lm_perplexity",
 ]
 
 
