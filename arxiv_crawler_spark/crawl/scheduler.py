@@ -931,10 +931,12 @@ class CrawlEngine:
         old = docs.filter(F.col("round") < since_round)
         new = docs.filter(F.col("round") >= since_round)
         idx = lsh_index_build(old, id_col="url", text_col="extracted_text")
-        return lsh_index_probe(
-            idx, new, id_col="url", text_col="extracted_text"
-        ).unionByName(
-            lsh_candidate_pairs(new, id_col="url", text_col="extracted_text")
+        # band the increment ONCE (Θ(|increment|) shingle+minhash work) and
+        # share it across the probe and the internal-pairs branches — the
+        # union does not reuse the subplan on its own
+        nb = lsh_index_build(new, id_col="url", text_col="extracted_text").persist()
+        return lsh_index_probe(idx, delta_banded=nb).unionByName(
+            lsh_candidate_pairs(new, banded=nb)
         )
 
     def seen_statuses(self) -> DataFrame:

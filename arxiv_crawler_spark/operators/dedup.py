@@ -109,6 +109,19 @@ def _banded(df: DataFrame, id_col: str, text_col: str, k: int, bands: int) -> Da
     )
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop band buckets larger than ``max_bucket`` (the 100-TB
+    boilerplate guard shared by the pair join and the index probe): a
+    window count on the same key the join shuffles on — AQE reuses the
+    exchange, so oversized buckets never reach the join."""
+    wc = Window.partitionBy("band_hash")
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -116,6 +129,7 @@ def lsh_candidate_pairs(
     k: int = 8,
     bands: int = 4,
     max_bucket: int | None = 100_000,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b), deduplicated across bands.
 
@@ -130,16 +144,10 @@ def lsh_candidate_pairs(
     dedup on the band key itself); audit the dropped volume with
     ``lsh_oversized_buckets``. ``max_bucket=None`` disables the cap.
     """
-    banded = _banded(df, id_col, text_col, k, bands)
+    if banded is None:
+        banded = _banded(df, id_col, text_col, k, bands)
     if max_bucket is not None:
-        # window count on the same key the self-join shuffles on — AQE reuses
-        # the exchange; oversized buckets never reach the join
-        wc = Window.partitionBy("band_hash")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(wc))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
+        banded = _cap_buckets(banded, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -191,12 +199,13 @@ def lsh_index_build(
 
 def lsh_index_probe(
     index: DataFrame,
-    delta: DataFrame,
+    delta: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     bands: int = 4,
     max_bucket: int | None = 100_000,
+    delta_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs between NEW documents and an existing
     :func:`lsh_index_build` index, without touching indexed text: the delta
@@ -204,17 +213,19 @@ def lsh_index_probe(
     normalized to ``id_a < id_b`` and deduplicated across bands. Within-
     delta pairs are NOT emitted; union with ``lsh_candidate_pairs(delta)``
     for full-increment semantics (q84 hash-checks exactly that composition
-    against a whole-corpus oracle). ``max_bucket`` caps the INDEX side's
-    bucket size — the corpus is where boilerplate mega-buckets accumulate
-    over rounds; audit drops with :func:`lsh_oversized_buckets`."""
+    against a whole-corpus oracle). When composing that union, band the
+    delta ONCE with :func:`lsh_index_build`, persist it, and pass it via
+    ``delta_banded`` here and ``banded`` there — otherwise each consumer
+    re-shingles the increment (Spark does not reuse the subplan across
+    the union's branches; verified on q84's physical plan). ``max_bucket``
+    caps the INDEX side's bucket size — the corpus is where boilerplate
+    mega-buckets accumulate over rounds; audit drops with
+    :func:`lsh_oversized_buckets`."""
     if max_bucket is not None:
-        wc = Window.partitionBy("band_hash")
-        index = (
-            index.withColumn("_bsz", F.count(F.lit(1)).over(wc))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
-    new = _banded(delta, id_col, text_col, k, bands)
+        index = _cap_buckets(index, max_bucket)
+    new = delta_banded if delta_banded is not None else _banded(
+        delta, id_col, text_col, k, bands
+    )
     return (
         index.alias("i")
         .join(new.alias("d"), F.col("i.band_hash") == F.col("d.band_hash"))

@@ -132,15 +132,19 @@ def select_token_budget(
     (equal scores always share a bin and floor() is monotone), so the
     result is bit-identical to the global sort at any ``nbins``.
     """
+    # null text scores as the empty string (0 tokens) so the prefix rule
+    # stays total and the histogram sums never go NULL
+    t = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col),
-        F.round(quality_score(F.col(text_col)), 6).alias("score"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.coalesce(F.round(quality_score(t), 6), F.lit(0.0)).alias("score"),
+        F.coalesce(token_count(t).cast("long"), F.lit(0)).alias("n_tokens"),
     )
     binned = base.withColumn(
         "_bin",
         F.least(F.lit(nbins - 1), F.floor(F.col("score") * nbins)).cast("int"),
-    )
+    ).persist()  # the histogram collect, the full-bin filter, and the
+    # cutoff-bin window all reuse one scored scan
     hist = {
         int(r["_bin"]): int(r["_t"])
         for r in binned.groupBy("_bin").agg(F.sum("n_tokens").alias("_t")).collect()

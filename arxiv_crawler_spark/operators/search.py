@@ -222,8 +222,11 @@ def lm_perplexity(
 
     rb = bigram_stream(ref, keep_id=False)
     bc = rb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
-    uc = rb.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu"))
-    v = rb.agg(F.count_distinct(F.col("w2")).alias("_v"))
+    # continuation counts and the vocabulary are rollups of bc — deriving
+    # them there costs two aggregates of the (already small) count table
+    # instead of two more corpus-wide tokenize+explode passes
+    uc = bc.groupBy("w1").agg(F.sum("_cb").alias("_cu"))
+    v = bc.agg(F.count_distinct(F.col("w2")).alias("_v"))
 
     p = (
         (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(alpha))

@@ -2707,8 +2707,11 @@ def q84_incremental_lsh(spark, sf):
     corpus = d.filter(F.col("doc_id") < 150)
     delta = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
     idx = DD.lsh_index_build(corpus)
-    cross = DD.lsh_index_probe(idx, delta, max_bucket=None)
-    within = DD.lsh_candidate_pairs(delta, max_bucket=None)
+    # band the delta once and share it across both branches (the union
+    # does not reuse the subplan on its own)
+    nb = DD.lsh_index_build(delta).persist()
+    cross = DD.lsh_index_probe(idx, max_bucket=None, delta_banded=nb)
+    within = DD.lsh_candidate_pairs(delta, max_bucket=None, banded=nb)
     # disjoint by construction (cross pairs straddle the 150 boundary,
     # within pairs sit above it) — plain union stays duplicate-free
     return cross.unionByName(within)
