@@ -919,6 +919,20 @@ def test_lm_perplexity_matches_hand_model(spark):
     assert ext == {5: round(-math.log2(1.0 / 3.0), 6)}
 
 
+def test_select_token_budget_null_text_is_zero_tokens(spark):
+    """NULL text scores as the empty string with zero tokens: the driver
+    histogram never sees NULL sums (previously a TypeError when a bin held
+    only NULL-text rows) and null docs never consume budget."""
+    from arxiv_crawler_spark.operators.sampling import select_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "the of and in w1 w2 w3")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_tokens"] for r in select_token_budget(docs, 7).collect()}
+    assert out[3] == 7 and out[1] == 0 and out[2] == 0
+
+
 def test_redact_pii_families_order_and_counts(spark):
     """PII scrubbing: each family redacts independently, passes apply in
     spec order (emails first protects dotted domains from the IP pattern;
