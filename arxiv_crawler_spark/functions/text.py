@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "position_grams",
     "token_count",
     "regex_token_count",
     "stopword_ratio",
@@ -36,6 +37,21 @@ EN_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 def tokens(c: Column) -> Column:
     """Whitespace tokens, empties dropped. Spec: split on single space."""
     return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def position_grams(c: Column, n: int) -> Column:
+    """Positional word n-grams (space-joined, 1-based starts, duplicates
+    kept): element i is tokens[i..i+n-1]; docs shorter than n yield [].
+    THE shared gram convention — winnowing, repetition signals, and the
+    span-dedup oracle SQL all mirror exactly this boundary behavior."""
+    t = tokens(c)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_count(c: Column) -> Column:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from arxiv_crawler_spark.functions.text import tokens
+from arxiv_crawler_spark.functions.text import position_grams, tokens
 
 __all__ = [
     "shingles",
@@ -481,15 +481,10 @@ def winnow_fingerprints(
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
-    toks = tokens(F.col(content_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pg = df.select(F.col(id_col), F.posexplode(grams).alias("_i", "_g")).select(
+    pg = df.select(
+        F.col(id_col),
+        F.posexplode(position_grams(F.col(content_col), n)).alias("_i", "_g"),
+    ).select(
         F.col(id_col),
         (F.col("_i") + 1).cast("long").alias("_p"),
         hash_fn(F.col("_g")).alias("_gh"),

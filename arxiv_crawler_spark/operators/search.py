@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from arxiv_crawler_spark.functions.text import tokens
+from arxiv_crawler_spark.functions.text import position_grams, tokens
 
 __all__ = ["bm25_topk", "repetition_signals", "lm_perplexity"]
 
@@ -109,21 +109,11 @@ def repetition_signals(
     Docs too short for an n-gram score 0.0 on that signal.
     """
 
-    def grams(c, n):
-        t = tokens(c)
-        return F.when(
-            F.size(t) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                lambda i: F.array_join(F.slice(t, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     base = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("_len"),
-        grams(F.col(text_col), n_top).alias("_g_top"),
-        grams(F.col(text_col), n_dup).alias("_g_dup"),
+        position_grams(F.col(text_col), n_top).alias("_g_top"),
+        position_grams(F.col(text_col), n_dup).alias("_g_dup"),
         F.split(F.col(text_col), "\n").alias("_lines"),
     )
 
