@@ -1,5 +1,5 @@
-"""Corpus mixing and training-prep operators: temperature sampling and
-sequence packing.
+"""Corpus mixing and training-prep operators: temperature sampling,
+sequence packing, budgeted selection, and DSIR importance resampling.
 
 The last mile between a curated 100-TB corpus and a training run:
 rebalance the source/language mix (temperature sampling, the multilingual
@@ -21,9 +21,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from arxiv_crawler_spark.functions.hashing import md5_hash64
-from arxiv_crawler_spark.functions.text import quality_score, token_count
+from arxiv_crawler_spark.functions.text import (
+    position_grams,
+    quality_score,
+    token_count,
+    tokens,
+)
 
-__all__ = ["temperature_sample", "pack_sequences", "select_token_budget"]
+__all__ = [
+    "temperature_sample",
+    "pack_sequences",
+    "select_token_budget",
+    "dsir_select",
+]
 
 
 def temperature_sample(
@@ -105,6 +115,127 @@ def pack_sequences(
         .withColumn(
             "pack_id", F.floor(F.col("start_offset") / F.lit(budget_tokens)).cast("long")
         )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    k: int = 100,
+    alpha: float = 1.0,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): pick the ``k`` raw-pool documents that look most like
+    ``target``, by hashed-n-gram importance weights + Gumbel top-k.
+
+    Feature space: unigrams + space-joined bigrams (the corpus-wide
+    ``position_grams`` convention), each hashed into one of ``n_buckets``
+    buckets via the DuckDB-reproducible md5 bridge. Fit add-``alpha``
+    bucket distributions p̂ (target) and q̂ (raw pool); a document's log
+    importance weight is Σ over its gram occurrences of
+    ln(p̂[b]) − ln(q̂[b]). Sampling-without-replacement ∝ w is the Gumbel
+    trick: key = ln w + Gumbel(0,1), take the k largest.
+
+    Everything is exact-integer past the per-bucket model: the bucket
+    log-ratios are fixed-pointed to micro-units (round ×1e6 → BIGINT,
+    the repo's cross-engine float contract applied once per bucket), so
+    per-document weights are *integer sums* — immune to float summation
+    order across engines — and the Gumbel noise is derived from
+    md5(id#seed) the same way q76's acceptance test is. Documents with no
+    tokens have no grams and are unscoreable → dropped (DSIR cannot rank
+    them).
+
+    Returns the k rows with the largest ``sample_key``
+    (ties → lower id first): (id, logw_micro, sample_key).
+
+    Scale shape (100-TB raw pool): ONE tokenize+explode pass over the
+    pool, reduced immediately to (id, bucket, cnt) with map-side partial
+    aggregation; the raw bucket marginals are a rollup of that table, the
+    target marginals one aggregate of the (curated, small) target stream.
+    The model is ≤ ``n_buckets`` rows — a bounded constant — broadcast
+    into the scoring join, so scoring is map-side; the only corpus-keyed
+    shuffle is the per-document weight reduction, and the final top-k is
+    Spark's TakeOrdered (no global sort materialization).
+    """
+
+    def gram_buckets(frame: DataFrame, keep_id: bool) -> DataFrame:
+        grams = F.concat(
+            tokens(F.col(text_col)), position_grams(F.col(text_col), 2)
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(*cols, F.explode(grams).alias("_g")).select(
+            *([id_col] if keep_id else []),
+            F.pmod(md5_hash64(F.col("_g")), F.lit(n_buckets))
+            .cast("int")
+            .alias("_bucket"),
+        )
+
+    # raw pool: one pass → (id, bucket, cnt); bucket marginals roll up
+    # from it instead of paying a second corpus scan
+    db = (
+        gram_buckets(df, keep_id=True)
+        .groupBy(id_col, "_bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .persist()
+    )
+    raw_counts = db.groupBy("_bucket").agg(F.sum("_cnt").alias("_cr"))
+    tgt_counts = (
+        gram_buckets(target, keep_id=False)
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    raw_total = raw_counts.agg(F.sum("_cr").alias("_nr"))
+    tgt_total = tgt_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
+
+    # per-bucket smoothed log-likelihood ratio, fixed-pointed once; only
+    # buckets the raw pool touches can contribute to a raw doc's weight
+    denom = float(alpha) * n_buckets
+    lr = (
+        raw_counts.join(tgt_counts, "_bucket", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "_bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(alpha))
+                        / (F.col("_nt") + F.lit(denom))
+                    )
+                    - F.log(
+                        (F.col("_cr") + F.lit(alpha)) / (F.col("_nr") + F.lit(denom))
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("_lrm"),
+        )
+    )
+
+    u = (
+        F.pmod(
+            md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))),
+            F.lit(1_000_000),
+        )
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    gumbel_micro = F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
+    return (
+        db.join(F.broadcast(lr), "_bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_cnt") * F.col("_lrm")).alias("logw_micro"))
+        .select(
+            id_col,
+            "logw_micro",
+            (F.col("logw_micro") + gumbel_micro).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
     )
 
 

@@ -3141,6 +3141,57 @@ from scored cross join cuts group by 1
 """
 
 
+def q90_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/sampling.py::dsir_select):
+    pick the 100 non-src0 documents most target-like under hashed
+    unigram+bigram distributions fit on the src0 slice — Xie et al. 2023's
+    data-selection recipe. Bucket log-ratios are fixed-pointed to integer
+    micro-units so per-doc weights are exact integer sums, and the Gumbel
+    top-k noise comes from the md5(id#seed) bridge — the oracle mirrors
+    the whole chain bit-for-bit."""
+    from arxiv_crawler_spark.operators.sampling import dsir_select
+
+    docs = load(spark, sf, "documents")
+    return dsir_select(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n_buckets=1024,
+        k=100,
+        seed=7,
+    )
+
+
+_SQL_Q90 = f"""
+with tt as (select doc_id, source, {_SQL_TOKS} as toks from documents),
+grams as (
+  select doc_id, source, unnest(toks) as g from tt
+  union all
+  select doc_id, source, toks[i] || ' ' || toks[i+1] as g
+  from (select doc_id, source, unnest(generate_series(1, len(toks) - 1)) as i, toks
+        from tt where len(toks) >= 2)),
+b as (select doc_id, source,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 as bucket
+      from grams),
+rb as (select doc_id, bucket, count(*) as cnt
+       from b where source <> 'src0' group by 1, 2),
+tb as (select bucket, count(*) as ct from b where source = 'src0' group by 1),
+tot as (select (select sum(cnt) from rb)::DOUBLE as nr,
+               (select coalesce(sum(ct), 0) from tb)::DOUBLE as nt),
+lr as (select r.bucket,
+              round((ln((coalesce(t.ct, 0) + 1.0) / (nt + 1024.0))
+                   - ln((r.cr + 1.0) / (nr + 1024.0))) * 1000000)::BIGINT as lrm
+       from (select bucket, sum(cnt) as cr from rb group by 1) r
+       left join tb t using (bucket) cross join tot),
+w as (select rb.doc_id, sum(rb.cnt * lr.lrm)::BIGINT as logw_micro
+      from rb join lr using (bucket) group by 1)
+select doc_id, logw_micro,
+       (logw_micro + round(-ln(-ln(
+          (('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 15))::BIGINT
+            % 1000000 + 0.5) / 1000000.0)) * 1000000))::BIGINT as sample_key
+from w order by sample_key desc, doc_id limit 100
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
 # precede every rows-only one (round-4 verdict item 1). 82 entries carry a
@@ -3223,6 +3274,7 @@ SPARK_QUERIES = {
     "q87_token_budget_select": q87_token_budget_select,
     "q88_lm_perplexity": q88_lm_perplexity,
     "q89_ccnet_buckets": q89_ccnet_buckets,
+    "q90_dsir_select": q90_dsir_select,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3317,6 +3369,7 @@ ORACLE_SQL = {
     "q87_token_budget_select": _SQL_Q87,
     "q88_lm_perplexity": _SQL_Q88,
     "q89_ccnet_buckets": _SQL_Q89,
+    "q90_dsir_select": _SQL_Q90,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

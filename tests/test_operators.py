@@ -1023,6 +1023,38 @@ def test_temperature_sample_rebalances_mix(spark):
     assert sorted(again["doc_id"]) == sorted(out["doc_id"])
 
 
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR weights separate the pool by target affinity: with disjoint
+    vocabularies, every target-vocabulary doc outweighs every
+    off-vocabulary doc (the ~30-gram weight gap dwarfs the Gumbel noise,
+    whose range is bounded by the md5 micro-grid at ±~15 nats), so the
+    top-k selection is exactly the target-like set. Untokenizable docs
+    are unscoreable and dropped."""
+    from arxiv_crawler_spark.operators.sampling import dsir_select
+
+    a_words = "spark sql join shuffle partition broadcast catalyst agg"
+    b_words = "tide harbor gull anchor brine mast kelp drift"
+    target = spark.createDataFrame(
+        [(1000 + i, " ".join([a_words] * 2)) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    pool = spark.createDataFrame(
+        [(i, " ".join([a_words] * 2)) for i in range(10)]
+        + [(100 + i, " ".join([b_words] * 2)) for i in range(10)]
+        + [(999, "   ")],  # no tokens -> no grams -> unscoreable
+        ["doc_id", "text"],
+    )
+    allw = dsir_select(pool, target, n_buckets=1024, k=50, seed=7).toPandas()
+    assert len(allw) == 20 and 999 not in set(allw["doc_id"])
+    wa = allw[allw["doc_id"] < 100]["logw_micro"]
+    wb = allw[allw["doc_id"] >= 100]["logw_micro"]
+    assert wa.min() > wb.max()
+    top = dsir_select(pool, target, n_buckets=1024, k=10, seed=7).toPandas()
+    assert set(top["doc_id"]) == set(range(10))
+    again = dsir_select(pool, target, n_buckets=1024, k=10, seed=7).toPandas()
+    assert top.values.tolist() == again.values.tolist()
+
+
 def test_pack_sequences_chunks_and_offsets(spark):
     """Offsets are the exact per-bucket running token sums in doc-id
     order; pack boundaries land every budget tokens."""

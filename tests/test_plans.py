@@ -166,6 +166,31 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_dsir_broadcasts_model_not_corpus(spark, sf_dir):
+    """DSIR's only broadcasts are the bounded model sides (≤n_buckets
+    log-ratio rows and two 1-row totals): with auto-broadcast off, the
+    scoring join must still be the forced model-side broadcast, and no
+    BroadcastExchange may carry the corpus text column — the pool's only
+    shuffles are its two keyed aggregations."""
+    from arxiv_crawler_spark.operators.sampling import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("source") != "src0")
+    target = docs.filter(F.col("source") == "src0")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dsir_select(pool, target, n_buckets=256, k=10)
+        p = plan_of(df, "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" in p  # forced lr-side scoring join
+    for b in p.split("\n\n"):
+        if b.lstrip().startswith("(") and "BroadcastExchange" in b.splitlines()[0]:
+            in_line = next(ln for ln in b.splitlines() if ln.strip().startswith("Input"))
+            assert "text" not in in_line, b
+
+
 def test_duplicate_spans_two_exchanges_hash_only(spark, sf_dir):
     """The ExactSubstr span plan must cost exactly TWO keyed exchanges —
     gram-hash occurrence window, then per-doc islands window (the span
