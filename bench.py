@@ -211,6 +211,8 @@ HEADLINE = [
     "q82_redact_pii",
     # round-5 batch 6: CCNet bigram-LM quality scoring
     "q88_lm_perplexity",
+    # round-5 batch 7: DSIR importance resampling
+    "q90_dsir_select",
 ]
 
 
