@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_url", "host_of", "normalize_arxiv_id_col", "arxiv_id_to_url"]
+__all__ = [
+    "canonicalize_url",
+    "host_of",
+    "normalize_arxiv_id_col",
+    "arxiv_id_to_url",
+    "url_quality_signals",
+    "URL_BANNED_HARD",
+    "URL_BANNED_SOFT",
+]
 
 
 def normalize_arxiv_id_col(c: Column) -> Column:
@@ -93,3 +101,63 @@ def host_of(c: Column) -> Column:
     per-host)."""
     rest = F.regexp_replace(F.trim(c), r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     return F.lower(F.regexp_extract(rest, r"^([^/:?#]*)", 1))
+
+
+# --------------------------------------------------------------------------
+# URL-level quality filtering (RefinedWeb-style, Penedo et al. 2023 §3.1 /
+# appendix G: blocklist word scoring + URL shape heuristics). Pure column
+# expressions — the filter runs inside the parquet scan's codegen stage, so
+# at 100 TB it is a pushed-down row gate, not a separate pass.
+# --------------------------------------------------------------------------
+
+# Hard words: one hit alone disqualifies (weight 1.0). Soft words score
+# 0.5 each — two soft hits add up to a drop, one alone survives (the
+# RefinedWeb fractional word-weight scheme, truncated list).
+URL_BANNED_HARD = ("casino", "xxx", "porn")
+URL_BANNED_SOFT = ("promo", "free-download", "tracker")
+
+
+def url_quality_signals(
+    url: Column,
+    *,
+    max_len: int = 96,
+    max_digit_ratio: float = 0.4,
+) -> Column:
+    """Struct of URL-quality signals + the keep verdict:
+    ``(banned_score, digit_ratio, too_long, ad_subdomain, keep)``.
+
+    * ``banned_score`` — Σ word-weights over the lowercased URL
+      (hard = 1.0, soft = 0.5); ≥ 1.0 drops.
+    * ``digit_ratio`` — digits / path length (SEO-spam shape signal).
+    * ``too_long`` — full URL longer than ``max_len``.
+    * ``ad_subdomain`` — host starts with the ``ads.`` label.
+
+    Every predicate is a built-in string function, so the composed
+    ``keep`` column stays in whole-stage codegen and Catalyst can push it
+    to the scan when used as a filter.
+    """
+    low = F.lower(url)
+    path = F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
+    score = sum(
+        [F.when(low.contains(w), F.lit(1.0)).otherwise(F.lit(0.0)) for w in URL_BANNED_HARD]
+        + [F.when(low.contains(w), F.lit(0.5)).otherwise(F.lit(0.0)) for w in URL_BANNED_SOFT],
+        F.lit(0.0),
+    )
+    digit_ratio = F.length(F.regexp_replace(path, r"[^0-9]", "")) / F.greatest(
+        F.length(path), F.lit(1)
+    )
+    too_long = F.length(url) > max_len
+    ad_sub = host_of(url).startswith("ads.")
+    keep = (
+        (score < 1.0)
+        & (digit_ratio <= max_digit_ratio)
+        & ~too_long
+        & ~ad_sub
+    )
+    return F.struct(
+        score.alias("banned_score"),
+        digit_ratio.alias("digit_ratio"),
+        too_long.alias("too_long"),
+        ad_sub.alias("ad_subdomain"),
+        keep.alias("keep"),
+    )

@@ -47,6 +47,7 @@ __all__ = [
     "duplicate_spans",
     "remove_duplicate_spans",
     "winnow_fingerprints",
+    "semdedup",
 ]
 
 
@@ -711,4 +712,76 @@ def decontaminate(
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
         .filter(F.col("n_hit_grams") >= min_hits)
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    centroid_col: str = "centroid",
+    tau: float = 0.7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup —
+    assign every embedding to its nearest centroid by cosine, then inside
+    each cluster drop any document that has an earlier (lower-id) neighbor
+    with cosine >= ``tau``. Returns ``(id, cluster, is_kept)``.
+
+    Plan shape at 100 TB: ``centroids`` is the trained coarse quantizer —
+    k rows, tiny — so the assignment is a broadcast nested-loop against
+    the streamed corpus followed by a map-side ``max_by`` argmax (one
+    shuffle on ``id_col`` for the per-vector reduce); the pairwise stage
+    shuffles the corpus ONCE on ``cluster`` and is quadratic only within a
+    cluster, which the SemDeDup premise (k ~ sqrt(n) balanced clusters)
+    keeps bounded. No window over the full corpus, no corpus-side
+    broadcast. Train centroids with operators/knn.py's spherical k-means
+    (``AnnIndex``/``ivf_build`` path) at scale; any deterministic centroid
+    table works — plans/analytics.py::q91 feeds per-label means so DuckDB
+    can reproduce the whole operator for the hash oracle.
+
+    Keeper rule: a document is dropped iff SOME lower-id same-cluster
+    document is tau-close — the NeMo-Curator SemDeDup retention rule
+    (one representative survives per duplicate neighborhood; earliest id
+    wins, mirroring exact_dedup's first-wins semantics).
+    """
+    from arxiv_crawler_spark.operators.knn import cosine
+
+    scored = emb.select(
+        F.col(id_col), F.col(vec_col)
+    ).join(
+        F.broadcast(centroids.select(F.col(cluster_col), F.col(centroid_col)))
+    ).withColumn("_cos", cosine(F.col(vec_col), F.col(centroid_col)))
+    asg = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(cluster_col),
+            F.struct(F.col("_cos"), (-F.col(cluster_col)).alias("_tb")),
+        ).alias(cluster_col)
+    )
+
+    vecs = emb.select(F.col(id_col), F.col(vec_col)).join(asg, id_col)
+    a = vecs.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col(cluster_col),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col(cluster_col),
+    )
+    dropped = (
+        a.join(b, [cluster_col])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= tau)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return asg.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
     )

@@ -33,6 +33,7 @@ __all__ = [
     "pack_sequences",
     "select_token_budget",
     "dsir_select",
+    "chunk_documents",
 ]
 
 
@@ -298,3 +299,49 @@ def select_token_budget(
         .drop("_cum")
     )
     return full.unionByName(part).select(id_col, "score", "n_tokens")
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: split each document's whitespace tokens
+    into windows of ``size`` tokens every ``stride`` (overlap =
+    size - stride) — ``(id, chunk_idx, n_tok, chunk_text)``. The
+    context-window prep step that feeds tokenize-and-pack (see
+    ``pack_sequences`` for the inter-document variant).
+
+    Empty/whitespace-only documents emit exactly one empty chunk
+    (chunk_idx 0, n_tok 0) so downstream per-document accounting never
+    loses rows.
+
+    Scale shape: narrow per-row transform (tokens → posexplode of the
+    start sequence → slice) — no shuffle at all; chunk rows inherit the
+    input partitioning, and per-row memory is one document's token list,
+    exactly what the scan already held.
+    """
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("_toks")), F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(F.slice(F.col("_toks"), F.col("_start"), size))
+            .cast("long")
+            .alias("n_tok"),
+            F.array_join(F.slice(F.col("_toks"), F.col("_start"), size), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )

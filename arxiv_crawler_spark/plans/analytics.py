@@ -3192,6 +3192,184 @@ from w order by sample_key desc, doc_id limit 100
 """
 
 
+def q91_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then drop any
+    vector with an earlier tau-close neighbor in its cluster —
+    operators/dedup.py::semdedup. The coarse centroids here are per-label
+    means (a deterministic, relationally-expressible quantizer) so DuckDB
+    replays the ENTIRE operator — assignment argmax included — for the
+    hash oracle; the 100-TB path feeds the same operator the spherical
+    k-means centroids from operators/knn.py's AnnIndex instead (trained
+    once, k ~ sqrt(n), which is what bounds the in-cluster pairwise
+    stage)."""
+    emb = load(spark, sf, "embeddings")
+    cents = (
+        emb.select(
+            F.col("label").alias("cluster"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    return DD.semdedup(emb, cents, tau=0.30).select("vec_id", "cluster", "is_kept")
+
+
+_SQL_Q91 = """
+with
+sd_expl as (
+  select label as cluster, u.i as pos, u.x as x
+  from (select label,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                      i -> {'i': i, 'x': embedding[i]::DOUBLE})) as u
+        from embeddings)),
+sd_cent as (
+  select cluster, list(m order by pos asc) as cvec
+  from (select cluster, pos, avg(x) as m from sd_expl group by cluster, pos)
+  group by cluster),
+sd_cos as (
+  select e.vec_id, c.cluster,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> e.embedding[i]::DOUBLE * c.cvec[i]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) as cos
+  from embeddings e cross join sd_cent c),
+sd_asg as (
+  select vec_id, cluster from (
+    select vec_id, cluster,
+           row_number() over (partition by vec_id order by cos desc, cluster asc) as rn
+    from sd_cos) t where rn = 1),
+sd_vec as (
+  select e.vec_id, a.cluster, e.embedding
+  from embeddings e join sd_asg a on e.vec_id = a.vec_id),
+sd_drop as (
+  select distinct b.vec_id
+  from sd_vec a join sd_vec b on a.cluster = b.cluster and a.vec_id < b.vec_id
+  where list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.30)
+select a.vec_id, a.cluster, (d.vec_id is null) as is_kept
+from sd_asg a left join sd_drop d on a.vec_id = d.vec_id
+"""
+
+
+def q92_url_filter(spark, sf):
+    """RefinedWeb-style URL-level filtering
+    (functions/urls.py::url_quality_signals): blocklist word scoring
+    (hard 1.0 / soft 0.5 weights), path digit-ratio, length cap, ad
+    subdomain — over deterministically noisy URLs derived from doc_id so
+    the oracle reproduces the whole gate. The signal struct is pure
+    built-in string expressions: as a filter it runs inside the scan's
+    codegen stage — at 100 TB this is a row gate fused into the read, not
+    a pass."""
+    from arxiv_crawler_spark.functions.urls import url_quality_signals
+
+    i = F.col("doc_id")
+    seg = (
+        F.when(i % 7 == 0, F.lit("casino-bonus"))
+        .when(i % 7 == 1, F.lit("research/paper"))
+        .when(i % 7 == 2, F.concat(F.lit("files/"), (i * i).cast("string")))
+        .when(i % 7 == 3, F.lit("blog/how-to"))
+        .when(i % 7 == 4, F.lit("promo/free-download"))
+        .when(i % 7 == 5, F.concat(F.lit("docs/v"), (i % 10).cast("string")))
+        .otherwise(F.concat(F.lit("a/"), F.repeat(F.lit("x"), ((i % 40) * 3).cast("int"))))
+    )
+    host = F.concat(
+        F.when(i % 11 == 0, F.lit("ads.")).otherwise(F.lit("")),
+        F.lit("h"), (i % 13).cast("string"), F.lit(".example.com"),
+    )
+    urls = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/"), seg, F.lit("/"), i.cast("string")).alias("url"),
+    )
+    return urls.select(
+        "doc_id", "url", url_quality_signals(F.col("url")).alias("s")
+    ).select(
+        "doc_id",
+        "url",
+        F.col("s.banned_score").alias("banned_score"),
+        F.col("s.digit_ratio").alias("digit_ratio"),
+        F.col("s.too_long").alias("too_long"),
+        F.col("s.ad_subdomain").alias("ad_subdomain"),
+        F.col("s.keep").alias("keep"),
+    )
+
+
+_SQL_Q92 = """
+with uf_u as (
+  select doc_id,
+         'https://' || (case when doc_id % 11 = 0 then 'ads.' else '' end)
+           || 'h' || (doc_id % 13) || '.example.com/'
+           || (case doc_id % 7
+                 when 0 then 'casino-bonus'
+                 when 1 then 'research/paper'
+                 when 2 then 'files/' || (doc_id * doc_id)
+                 when 3 then 'blog/how-to'
+                 when 4 then 'promo/free-download'
+                 when 5 then 'docs/v' || (doc_id % 10)
+                 else 'a/' || repeat('x', (doc_id % 40) * 3)
+               end)
+           || '/' || doc_id as url
+  from documents),
+uf_s as (
+  select doc_id, url, lower(url) as low,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$', 1) as path
+  from uf_u),
+uf_sc as (
+  select doc_id, url,
+         (case when low like '%casino%' then 1.0 else 0.0 end
+          + case when low like '%xxx%' then 1.0 else 0.0 end
+          + case when low like '%porn%' then 1.0 else 0.0 end
+          + case when low like '%promo%' then 0.5 else 0.0 end
+          + case when low like '%free-download%' then 0.5 else 0.0 end
+          + case when low like '%tracker%' then 0.5 else 0.0 end) as banned_score,
+         len(regexp_replace(path, '[^0-9]', '', 'g'))
+           / greatest(len(path), 1) as digit_ratio,
+         (len(url) > 96) as too_long,
+         (lower(regexp_extract(regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                               '^([^/:?#]*)', 1)) like 'ads.%') as ad_subdomain
+  from uf_s)
+select doc_id, url, banned_score, digit_ratio, too_long, ad_subdomain,
+       (banned_score < 1.0 and digit_ratio <= 0.4
+        and not too_long and not ad_subdomain) as keep
+from uf_sc
+"""
+
+
+def q93_chunk_documents(spark, sf):
+    """Sliding-window context chunking
+    (operators/sampling.py::chunk_documents): 64-token windows every 48
+    tokens (16-token overlap) over each document's whitespace tokens —
+    (doc_id, chunk_idx, n_tok, chunk_text). Narrow per-row transform,
+    zero shuffles; the chunk rows inherit the scan partitioning."""
+    from arxiv_crawler_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(load(spark, sf, "documents"), size=64, stride=48)
+
+
+_SQL_Q93 = """
+with ch_t as (
+  select doc_id, list_filter(string_split(text, ' '), x -> x <> '') as toks
+  from documents),
+ch_s as (
+  select doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 48)) as start
+  from ch_t)
+select doc_id,
+       cast((start - 1) // 48 as int) as chunk_idx,
+       len(list_slice(toks, start, start + 63))::BIGINT as n_tok,
+       array_to_string(list_slice(toks, start, start + 63), ' ') as chunk_text
+from ch_s
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
 # precede every rows-only one (round-4 verdict item 1). 82 entries carry a
@@ -3275,6 +3453,9 @@ SPARK_QUERIES = {
     "q88_lm_perplexity": q88_lm_perplexity,
     "q89_ccnet_buckets": q89_ccnet_buckets,
     "q90_dsir_select": q90_dsir_select,
+    "q91_semdedup": q91_semdedup,
+    "q92_url_filter": q92_url_filter,
+    "q93_chunk_documents": q93_chunk_documents,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3370,6 +3551,9 @@ ORACLE_SQL = {
     "q88_lm_perplexity": _SQL_Q88,
     "q89_ccnet_buckets": _SQL_Q89,
     "q90_dsir_select": _SQL_Q90,
+    "q91_semdedup": _SQL_Q91,
+    "q92_url_filter": _SQL_Q92,
+    "q93_chunk_documents": _SQL_Q93,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

@@ -1101,3 +1101,82 @@ def test_pagerank_dangling_redistribute_matches_dense_reference(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_semdedup_assignment_and_keeper_rule(spark):
+    # Two obvious clusters on the axes plus one vector tau-close to an
+    # earlier one: 1 and 2 are near-dups in cluster 0 (keep 1, drop 2);
+    # 3 sits alone in cluster 1; 4 is in cluster 0 but below tau.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.98, 0.199, 0.0]),     # cos(1,2) ~ 0.98
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.7, -0.714, 0.0]),     # cluster 0, cos(1,4) ~ 0.7 < tau
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cluster int, centroid array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_kept"])
+        for r in DD.semdedup(emb, cents, tau=0.9).collect()
+    }
+    assert got == {1: (0, True), 2: (0, False), 3: (1, True), 4: (0, True)}
+
+
+def test_semdedup_argmax_tiebreak_prefers_lowest_cluster(spark):
+    # A vector equidistant from two identical centroids must land in the
+    # lower cluster id (the max_by struct tie-break the oracle's
+    # row_number(order by cos desc, cluster asc) mirrors).
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [1.0, 0.0])], "cluster int, centroid array<double>"
+    )
+    [row] = DD.semdedup(emb, cents, tau=0.999999).collect()
+    assert (row["cluster"], row["is_kept"]) == (3, True)
+
+
+def test_url_quality_signals_families(spark):
+    from arxiv_crawler_spark.functions.urls import url_quality_signals
+
+    urls = [
+        ("https://h1.example.com/research/paper/1", True),      # clean
+        ("https://h1.example.com/casino-bonus/2", False),       # hard word
+        ("https://h1.example.com/promo/3", True),               # one soft = 0.5
+        ("https://h1.example.com/promo/free-download/4", False),# two softs = 1.0
+        ("https://h1.example.com/files/123456789/5", False),    # digit ratio
+        ("https://ads.h1.example.com/blog/6", False),           # ad subdomain
+        ("https://h1.example.com/" + "x" * 90, False),          # too long
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = {
+        r["url"]: r["s"]["keep"]
+        for r in df.select("url", url_quality_signals(F.col("url")).alias("s")).collect()
+    }
+    for u, keep in urls:
+        assert got[u] == keep, u
+
+
+def test_chunk_documents_overlap_and_empty_doc(spark):
+    from arxiv_crawler_spark.operators.sampling import chunk_documents
+
+    words = " ".join(str(i) for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tok"], r["chunk_text"])
+        for r in chunk_documents(df, size=4, stride=3).collect()
+    }
+    # doc 1: starts 1,4,7,10 → windows [0..3],[3..6],[6..9],[9]
+    assert got[(1, 0)] == (4, "0 1 2 3")
+    assert got[(1, 1)] == (4, "3 4 5 6")
+    assert got[(1, 2)] == (4, "6 7 8 9")
+    assert got[(1, 3)] == (1, "9")
+    # empty / whitespace-only docs emit exactly one empty chunk
+    assert got[(2, 0)] == (0, "")
+    assert got[(3, 0)] == (0, "")
+    assert len(got) == 6
