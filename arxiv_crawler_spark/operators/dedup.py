@@ -48,6 +48,7 @@ __all__ = [
     "remove_duplicate_spans",
     "winnow_fingerprints",
     "semdedup",
+    "paragraph_dedup",
 ]
 
 
@@ -784,4 +785,68 @@ def semdedup(
         F.col(id_col),
         F.col(cluster_col),
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 8,
+) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup (Wenzek et al. 2019
+    §3.1: hash every paragraph, keep only the corpus-wide FIRST
+    occurrence, re-emit the document from its surviving paragraphs).
+    Returns ``(id, n_paras, n_kept, text_deduped)`` — one row per input
+    document, dropped-to-empty documents included.
+
+    The synthetic corpus has no newline structure, so a "paragraph" is a
+    non-overlapping ``block_tokens``-token block (the delimiter-split
+    variant is the same plan with split(text, '\\n') as the explode).
+
+    Plan shape at 100 TB: explode → ONE keyed shuffle on the paragraph
+    md5 (the window's partition key — duplicate groups are tiny, so no
+    skew) → one groupBy on the document id to reassemble. Paragraph TEXT
+    never rides the first shuffle's key — the 16-byte hash does; CCNet's
+    own sharded-hash design, relationally."""
+    toks = tokens(F.col(text_col))
+    paras = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(block_tokens)),
+        lambda s: F.array_join(F.slice(toks, s, block_tokens), " "),
+    )
+    ex = (
+        df.select(F.col(id_col), F.posexplode(paras).alias("pos", "para"))
+        .filter(F.col("para") != "")
+        .withColumn("para_hash", F.md5("para"))
+    )
+    w = Window.partitionBy("para_hash").orderBy(id_col, "pos")
+    per_doc = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
     )

@@ -3370,9 +3370,99 @@ from ch_s
 """
 
 
+def q94_paragraph_dedup(spark, sf):
+    """CCNet cross-document paragraph dedup
+    (operators/dedup.py::paragraph_dedup): hash every 8-token paragraph
+    block, keep the corpus-wide first occurrence (doc_id, pos order),
+    reassemble documents from surviving paragraphs. One keyed shuffle on
+    the paragraph hash + one on doc_id."""
+    return DD.paragraph_dedup(load(spark, sf, "documents"), block_tokens=8)
+
+
+_SQL_Q94 = """
+with pd_t as (
+  select doc_id, list_filter(string_split(text, ' '), x -> x <> '') as toks
+  from documents),
+pd_p as (
+  select doc_id, cast((start - 1) // 8 as int) as pos,
+         array_to_string(list_slice(toks, start, start + 7), ' ') as para
+  from (select doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1), 8)) as start
+        from pd_t)
+  where array_to_string(list_slice(toks, start, start + 7), ' ') <> ''),
+pd_r as (
+  select doc_id, pos, para,
+         row_number() over (partition by para order by doc_id, pos) as rn
+  from pd_p),
+pd_g as (
+  select doc_id,
+         count(*) as n_paras,
+         count(*) filter (where rn = 1) as n_kept,
+         string_agg(para, ' ' order by pos) filter (where rn = 1) as text_deduped
+  from pd_r group by doc_id)
+select d.doc_id,
+       coalesce(g.n_paras, 0) as n_paras,
+       coalesce(g.n_kept, 0) as n_kept,
+       coalesce(g.text_deduped, '') as text_deduped
+from documents d left join pd_g g on d.doc_id = g.doc_id
+"""
+
+
+def q95_fuzzy_dedup(spark, sf):
+    """End-to-end MinHash fuzzy dedup (the SlimPajama/RedPajama-2 pass):
+    LSH candidate pairs (q24's banded plan) → exact-Jaccard verification
+    at 0.5 (kills LSH false positives — the verify join moves only
+    CANDIDATE docs' shingle sets, bounded by the pair list, never the
+    corpus) → connected components → min-id keeper per duplicate
+    cluster. Output matches q75's contract: (node, cluster_id,
+    is_keeper)."""
+    from arxiv_crawler_spark.operators.graph import connected_components
+
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = DD.lsh_candidate_pairs(d, k=8, bands=4)
+    sh = d.select(F.col("doc_id").alias("id"), DD.shingles(F.col("text"), 3).alias("sh"))
+    verified = (
+        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(verified, "id_a", "id_b")
+    return cc.select(
+        "node", "cluster_id", (F.col("node") == F.col("cluster_id")).alias("is_keeper")
+    )
+
+
+def _sql_q95() -> str:
+    return f"""
+with recursive
+fz_toks as (select doc_id as id, {_SQL_TOKS} as toks from documents where doc_id < 200),
+fz_sh as (select id, {_sql_shingles(3)} as sh from fz_toks),
+fz_cand as (select id_a, id_b from ({_sql_q24()}) c),
+fz_pairs as (
+  select p.id_a, p.id_b
+  from fz_cand p join fz_sh a on p.id_a = a.id join fz_sh b on p.id_b = b.id
+  where len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+fz_e as (select id_a as u, id_b as v from fz_pairs
+         union select id_b, id_a from fz_pairs),
+fz_nodes as (select distinct u as node from fz_e),
+fz_reach (node, r) as (
+  select node, node from fz_nodes
+  union
+  select fz_e.u, fz_reach.r from fz_e join fz_reach on fz_reach.node = fz_e.v)
+select node, min(r) as cluster_id, (node = min(r)) as is_keeper
+from fz_reach group by node
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 82 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 88 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
@@ -3456,6 +3546,8 @@ SPARK_QUERIES = {
     "q91_semdedup": q91_semdedup,
     "q92_url_filter": q92_url_filter,
     "q93_chunk_documents": q93_chunk_documents,
+    "q94_paragraph_dedup": q94_paragraph_dedup,
+    "q95_fuzzy_dedup": q95_fuzzy_dedup,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3554,6 +3646,8 @@ ORACLE_SQL = {
     "q91_semdedup": _SQL_Q91,
     "q92_url_filter": _SQL_Q92,
     "q93_chunk_documents": _SQL_Q93,
+    "q94_paragraph_dedup": _SQL_Q94,
+    "q95_fuzzy_dedup": _sql_q95(),
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

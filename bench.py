@@ -213,6 +213,9 @@ HEADLINE = [
     "q88_lm_perplexity",
     # round-5 batch 7: DSIR importance resampling
     "q90_dsir_select",
+    # round-5 batch 8: SemDeDup and CCNet paragraph dedup
+    "q91_semdedup",
+    "q94_paragraph_dedup",
 ]
 
 

@@ -1180,3 +1180,31 @@ def test_chunk_documents_overlap_and_empty_doc(spark):
     assert got[(2, 0)] == (0, "")
     assert got[(3, 0)] == (0, "")
     assert len(got) == 6
+
+
+def test_paragraph_dedup_first_wins_and_reassembly(spark):
+    # Block size 2: doc 1 = [a b][c d], doc 2 = [c d][e f] (shares "c d",
+    # keeps "e f"), doc 3 duplicates doc 1 entirely -> deduped to empty,
+    # doc 4 is empty -> zero paragraphs, still present in the output.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "a b c d"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_deduped"])
+        for r in DD.paragraph_dedup(df, block_tokens=2).collect()
+    }
+    assert got == {
+        1: (2, 2, "a b c d"),
+        2: (2, 1, "e f"),
+        3: (2, 0, ""),
+        4: (0, 0, ""),
+    }
+
+
+def test_paragraph_dedup_in_doc_repeat_and_tail_block(spark):
+    # A paragraph repeated INSIDE one doc keeps only its first occurrence,
+    # and a short tail block (len < block_tokens) is a paragraph too.
+    df = spark.createDataFrame([(7, "x y x y z")], "doc_id long, text string")
+    [r] = DD.paragraph_dedup(df, block_tokens=2).collect()
+    assert (r["n_paras"], r["n_kept"], r["text_deduped"]) == (3, 2, "x y z")
