@@ -2951,6 +2951,25 @@ def x70_near_dup_report(spark, sf):
     return eng.near_dup_report()
 
 
+def x71_semdedup_kmeans(spark, sf):
+    """SemDeDup on the PRODUCTION quantizer: spherical k-means centroids
+    from the ANN index build (operators/knn.py::ivf_build — bounded
+    sample, driver-side Lloyd, trained once) fed to
+    operators/dedup.py::semdedup. Rows-only (k-means training isn't
+    SQL-expressible); q91 hash-checks the identical operator with a
+    relational quantizer, and the recall/exactness of this quantizer is
+    pytest-covered via the IVF suite."""
+    from arxiv_crawler_spark.operators.knn import ivf_build
+
+    emb = load(spark, sf, "embeddings")
+    idx = ivf_build(emb, n_cells=8, persist=False)
+    cents = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(idx.cents)],
+        "cluster int, centroid array<double>",
+    )
+    return DD.semdedup(emb, cents, tau=0.30).select("vec_id", "cluster", "is_kept")
+
+
 def _py_lsh_pairs(texts: dict[str, str]) -> list[tuple[str, str]]:
     """Pure-Python mirror of operators/dedup.py's banding (k=8, bands=4,
     3-gram shingles, md5(shingle || '#i') min-hash, band key =
@@ -3572,6 +3591,7 @@ SPARK_QUERIES = {
     "x67_store_tail_stream": x67_store_tail_stream,
     "x68_knn_pq": x68_knn_pq,
     "x69_knn_ivfpq": x69_knn_ivfpq,
+    "x71_semdedup_kmeans": x71_semdedup_kmeans,
 }
 
 ORACLE_SQL = {
