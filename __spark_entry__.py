@@ -5,10 +5,10 @@ deterministic synthetic TEI world (frontier → wave → fetch-join → Arrow
 extraction → anti-join dedupe → frontier merge → snapshot), returning the
 pop-ordered crawl trace.
 
-``queries()`` (97) / ``oracle_sql()`` (88) — the operator surface of SURVEY.md §2 plus
+``queries()`` (102) / ``oracle_sql()`` (92) — the operator surface of SURVEY.md §2 plus
 the training-data-pipeline operators (dedup / similarity search / text
-analysis / multimodal), checked against DuckDB at sf=0.01. All 88
-oracle-backed entries are ordered ahead of the 9 rows-only ones so the
+analysis / multimodal), checked against DuckDB at sf=0.01. All 92
+oracle-backed entries are ordered ahead of the 10 rows-only ones so the
 driver's 50-entry CORRECTNESS window records only hash-checked rows.
 """
 

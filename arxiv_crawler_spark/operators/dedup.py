@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from arxiv_crawler_spark.functions.hashing import md5_hash64
 from arxiv_crawler_spark.functions.text import position_grams, tokens
 
 __all__ = [
@@ -43,6 +44,8 @@ __all__ = [
     "simhash_near_pairs",
     "simhash64_near_pairs",
     "decontaminate",
+    "bloom_bits",
+    "bloom_decontaminate",
     "duplicate_span_positions",
     "duplicate_spans",
     "remove_duplicate_spans",
@@ -712,6 +715,83 @@ def decontaminate(
             F.countDistinct("g").alias("n_hit_grams"),
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
+        .filter(F.col("n_hit_grams") >= min_hits)
+    )
+
+
+def _bloom_probes(g: Column, m: int, k: int) -> list[Column]:
+    """The k Bloom positions of gram ``g``: md5-60 of g#bf0..g#bf(k-1) mod
+    m — the same hash bridge every oracle-checked operator uses, so the
+    filter's exact bit pattern (false positives included) replays in SQL."""
+    return [
+        F.pmod(md5_hash64(F.concat(g, F.lit(f"#bf{r}"))), F.lit(m)).cast("int")
+        for r in range(k)
+    ]
+
+
+def bloom_bits(
+    items: DataFrame, col: str = "g", m: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """Set-bit table of a Bloom filter over ``items[col]``: one ``pos``
+    column, ≤ min(m, k·|items|) distinct rows. The relational encoding of
+    the bitset — the crawl engine's in-memory variant is crawl/bloom.py;
+    this one exists so membership itself is a (bounded, broadcastable)
+    DataFrame that merges across shards by plain union+distinct."""
+    probes = F.explode(F.array(*_bloom_probes(F.col(col), m, k))).alias("pos")
+    return items.select(probes).distinct()
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m: int = 1 << 16,
+    k: int = 3,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the bounded-width scale
+    path beside :func:`decontaminate`'s exact gram join: flag training
+    docs where ≥ ``min_hits`` distinct word n-grams have ALL ``k`` Bloom
+    positions set in the benchmark filter — (doc_id, n_hit_grams).
+
+    Where exact decontamination broadcasts the benchmark's gram STRINGS
+    (width ∝ gram length × gram count), the Bloom side is ≤ ``m`` int
+    positions no matter how large the eval suite grows — the classic
+    CCNet/Dolma-scale trade: a fixed-size membership structure bought
+    with a replayable false-positive rate (≈ (k·|grams|/m)^k per probe;
+    supersets exact — every truly shared gram always flags, tested).
+
+    Scale shape: the corpus side explodes k probe rows per gram and
+    streams map-side through the forced broadcast of the position table
+    (bounded by the ``m`` literal, hint justified by construction); only
+    probe-hit rows reach the two contamination aggregates, so post-join
+    work is ∝ hit rate, never corpus size. Zero corpus-keyed shuffles
+    before the hit groupBy.
+    """
+    bits = bloom_bits(
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g")),
+        "g",
+        m,
+        k,
+    )
+    doc_probes = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).select(
+        id_col,
+        "g",
+        F.posexplode(F.array(*_bloom_probes(F.col("g"), m, k))).alias("r", "pos"),
+    )
+    hits = (
+        doc_probes.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "g")
+        .agg(F.count_distinct("r").alias("_set"))
+        .filter(F.col("_set") == k)
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_hit_grams"))
         .filter(F.col("n_hit_grams") >= min_hits)
     )
 

@@ -34,6 +34,7 @@ __all__ = [
     "select_token_budget",
     "dsir_select",
     "chunk_documents",
+    "source_kl",
 ]
 
 
@@ -345,3 +346,85 @@ def chunk_documents(
             ),
         )
     )
+
+
+def source_kl(
+    df: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution —
+    the mixture diagnostic behind data-mixing work (DoReMi / Dolma
+    source-weight tuning): KL(p_src ‖ p_corpus) over add-one-smoothed
+    hashed-unigram distributions tells you which sources are
+    distributional outliers before you pick mixture weights.
+
+    Exact definition (what the q98 oracle replays): tokens hash into
+    ``n_buckets`` via the md5-60 bridge; p̂_s[b] = (c_sb + 1)/(n_s + B),
+    q̂[b] = (c_b + 1)/(n + B); KL_s = Σ over all B buckets of
+    p̂_s[b]·ln(p̂_s[b]/q̂[b]). The sum splits into the buckets the corpus
+    touches (a |sources|×B'-row grid) plus one closed-form remainder for
+    the B−B' buckets no token hits (where both distributions sit at their
+    smoothing floor) — so the full-support sum is computed without
+    materializing empty cells. Each grid term is fixed-pointed to
+    pico-units (round ×1e12 → BIGINT) before summation, the q90
+    float-order-proof contract; ``kl_pico`` is the integer result.
+
+    Returns (key, n_tokens, kl_pico) sorted by key.
+
+    Scale shape: ONE tokenize+explode pass reduced map-side to
+    (source, bucket, cnt) — at most |sources|·B rows on the exchange;
+    corpus marginals roll up from that table; the scoring grid is
+    |sources|×B' ≤ |sources|·B rows of pure arithmetic. Nothing
+    corpus-sized ever shuffles.
+    """
+    sb = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.explode(tokens(F.col(text_col))).alias("_t"),
+        )
+        .select(
+            "key",
+            F.pmod(md5_hash64(F.col("_t")), F.lit(n_buckets)).cast("int").alias("b"),
+        )
+        .groupBy("key", "b")
+        .agg(F.count(F.lit(1)).alias("c_sb"))
+        .persist()
+    )
+    corpus_b = sb.groupBy("b").agg(F.sum("c_sb").alias("c_b"))
+    totals = sb.groupBy("key").agg(F.sum("c_sb").alias("n_s"))
+    corpus_tot = corpus_b.agg(
+        F.sum("c_b").alias("n"), F.count(F.lit(1)).alias("b_present")
+    )
+
+    bf = float(n_buckets)
+    grid = (
+        totals.crossJoin(corpus_b)
+        .join(sb, ["key", "b"], "left")
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    p = (F.coalesce(F.col("c_sb"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_s") + F.lit(bf)
+    )
+    q = (F.col("c_b") + 1).cast("double") / (F.col("n") + F.lit(bf))
+    term = F.round(p * F.log(p / q) * F.lit(1e12)).cast("long")
+    present = grid.groupBy("key", "n_s").agg(F.sum(term).alias("_kl_present"))
+
+    # closed-form remainder: the B - B' buckets no corpus token hits,
+    # where p and q are both at the smoothing floor
+    p0 = F.lit(1.0) / (F.col("n_s") + F.lit(bf))
+    q0 = F.lit(1.0) / (F.col("n") + F.lit(bf))
+    rem = (F.lit(n_buckets) - F.col("b_present")) * F.round(
+        p0 * F.log(p0 / q0) * F.lit(1e12)
+    ).cast("long")
+    out = (
+        present.crossJoin(F.broadcast(corpus_tot))
+        .select(
+            F.col("key").alias(key_col),
+            F.col("n_s").alias("n_tokens"),
+            (F.col("_kl_present") + rem).alias("kl_pico"),
+        )
+        .orderBy(key_col)
+    )
+    return out

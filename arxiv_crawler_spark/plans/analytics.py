@@ -2970,6 +2970,48 @@ def x71_semdedup_kmeans(spark, sf):
     return DD.semdedup(emb, cents, tau=0.30).select("vec_id", "cluster", "is_kept")
 
 
+def x72_streaming_hll(spark, sf):
+    """Live distinct-URL cardinality over a running crawl: q96's HLL as a
+    STREAMING aggregation — operators/sketches.py::hll_registers is just
+    groupBy(reg).max(rho), so the identical operator runs over the store
+    tail (streaming/tail.py) with 256 rows of streaming state, giving a
+    continuously-maintained unique-URL estimate while the crawl commits
+    rounds. Output: one row (m, nonzero_regs, sumw, est_micro,
+    exact_cnt) — estimate from the stream's final registers, exact
+    witness from the batch store reader. Rows-only (live-store
+    composition, like x67); stream↔batch register parity is asserted in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+    from arxiv_crawler_spark.operators.sketches import hll_estimate, hll_registers
+    from arxiv_crawler_spark.streaming.tail import stream_fetched
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    store = tempfile.mkdtemp(prefix="xq_hll_tail_")
+    eng = CrawlEngine(
+        spark, store, pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=True),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+    q = (
+        hll_registers(stream_fetched(spark, store).select("url"), "url", p=8)
+        .writeStream.format("memory").queryName("x72_hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="xq_hll_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    est = hll_estimate(spark.sql("select reg, mj from x72_hll_regs"), p=8)
+    exact = eng.store.fetched().agg(
+        F.countDistinct("url").cast("long").alias("exact_cnt")
+    )
+    return est.crossJoin(exact)
+
+
 def _py_lsh_pairs(texts: dict[str, str]) -> list[tuple[str, str]]:
     """Pure-Python mirror of operators/dedup.py's banding (k=8, bands=4,
     3-gram shingles, md5(shingle || '#i') min-hash, band key =
@@ -3479,9 +3521,198 @@ from fz_reach group by node
 """
 
 
+def q96_hll_distinct(spark, sf):
+    """Hand-rolled HyperLogLog distinct-token count
+    (operators/sketches.py::hll_registers/hll_estimate, p=8 → 256
+    registers): the mergeable one-pass answer to "how many distinct
+    tokens" whose exchange is bounded by the register count, never the
+    corpus. Unlike x56's approx_count_distinct (Spark HLL++, opaque
+    register layout → semantic-only oracle), this sketch is built on the
+    md5-60 bridge, so DuckDB replays every register, the integer
+    indicator sum, AND the branch-exact estimate — a full value-hash
+    oracle for a cardinality sketch. exact_cnt rides along as the
+    accuracy witness (at 100 TB you would drop it; tests bound the
+    relative error)."""
+    from arxiv_crawler_spark.operators.sketches import hll_estimate, hll_registers
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    est = hll_estimate(hll_registers(toks, "token", p=8), p=8)
+    exact = toks.agg(F.countDistinct("token").cast("long").alias("exact_cnt"))
+    return est.crossJoin(exact)
+
+
+def _sql_q96() -> str:
+    from arxiv_crawler_spark.operators.sketches import _alpha
+
+    a_lit = repr(float(_alpha(256)) * 256 * 256 * float(1 << 53))
+    return f"""
+with hll_toks as (select unnest({_SQL_TOKS}) as token from documents),
+hll_h as (select ('0x' || substr(md5(token), 1, 15))::BIGINT as h from hll_toks),
+hll_r as (
+  select h >> 52 as reg,
+         case when (h % 4503599627370496) = 0 then 53
+              else 53 - length(bin(h % 4503599627370496)) end as rho
+  from hll_h),
+hll_regs as (select reg, max(rho) as mj from hll_r group by 1),
+hll_agg as (
+  select count(*)::BIGINT as nonzero_regs,
+         (sum((2 ** (53 - mj))::BIGINT)
+          + (256 - count(*)) * 9007199254740992)::BIGINT as sumw
+  from hll_regs)
+select 256 as m, nonzero_regs, sumw,
+       round(case when (256 - nonzero_regs) > 0
+                       and ({a_lit} / sumw) <= 640.0
+                  then 256.0 * ln(256.0 / (256 - nonzero_regs))
+                  else {a_lit} / sumw end * 1000000.0)::BIGINT as est_micro,
+       (select count(distinct token) from hll_toks)::BIGINT as exact_cnt
+from hll_agg
+"""
+
+
+def q97_cms_heavy_hitters(spark, sf):
+    """Count-min-sketch frequency estimates for the exact top-20 tokens
+    (operators/sketches.py::cms_build/cms_query, d=4 × w=512): the
+    sketch is one pass reduced map-side to ≤ d·w cells, the probe a
+    broadcast join against it. Output carries both the exact count and
+    the CMS estimate with its overcount — the est ≥ exact guarantee is
+    the witness column (and a pytest invariant). At 100 TB the candidate
+    set comes from a prior round or an external watchlist while the
+    sketch absorbs the full stream; here the exact top-20 doubles as the
+    deterministic candidate set so DuckDB replays build AND probe."""
+    from arxiv_crawler_spark.operators.sketches import cms_build, cms_query
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    sketch = cms_build(toks, "token", d=4, w=512)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("token")).limit(20)
+    est = cms_query(sketch, top.select("token"), "token", d=4, w=512)
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+_SQL_Q97 = f"""
+with cms_toks as (select unnest({_SQL_TOKS}) as token from documents),
+cms_sk as (
+  select r, ('0x' || substr(md5(token || '#cms' || r::VARCHAR), 1, 15))::BIGINT % 512 as bucket,
+         count(*) as cnt
+  from cms_toks cross join (select unnest([0, 1, 2, 3]) as r) rr
+  group by 1, 2),
+cms_ex as (select token, count(*) as exact_cnt from cms_toks group by 1),
+cms_top as (select token, exact_cnt from cms_ex
+            order by exact_cnt desc, token asc limit 20),
+cms_est as (
+  select t.token, min(coalesce(s.cnt, 0)) as cm_est
+  from (select token, r,
+               ('0x' || substr(md5(token || '#cms' || r::VARCHAR), 1, 15))::BIGINT % 512 as bucket
+        from cms_top cross join (select unnest([0, 1, 2, 3]) as r) rr) t
+  left join cms_sk s on s.r = t.r and s.bucket = t.bucket
+  group by 1)
+select cms_top.token, exact_cnt::BIGINT as exact_cnt, cm_est::BIGINT as cm_est,
+       (cm_est - exact_cnt)::BIGINT as overcount
+from cms_top join cms_est using (token)
+order by exact_cnt desc, token asc
+"""
+
+
+def q98_source_kl(spark, sf):
+    """Per-source KL divergence from the corpus token distribution
+    (operators/sampling.py::source_kl, 1024 hashed-unigram buckets) —
+    the DoReMi/Dolma mixture diagnostic: which sources are
+    distributional outliers before you pick mixture weights. One
+    tokenize pass reduced to (source, bucket) cells; per-bucket terms
+    are fixed-pointed to pico-units before the integer sum (the q90
+    float-order-proof contract), with a closed-form remainder for the
+    buckets no corpus token hits, so DuckDB replays the full-support
+    divergence exactly."""
+    from arxiv_crawler_spark.operators.sampling import source_kl
+
+    docs = load(spark, sf, "documents")
+    return source_kl(docs, key_col="source", text_col="text", n_buckets=1024)
+
+
+_SQL_Q98 = f"""
+with kl_toks as (select source, unnest({_SQL_TOKS}) as t from documents),
+kl_sb as (select source, ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 as b,
+                 count(*) as c_sb
+          from kl_toks group by 1, 2),
+kl_cb as (select b, sum(c_sb)::BIGINT as c_b from kl_sb group by 1),
+kl_tot as (select source, sum(c_sb)::BIGINT as n_s from kl_sb group by 1),
+kl_ct as (select (select sum(c_b) from kl_cb)::BIGINT as n,
+                 (select count(*) from kl_cb)::BIGINT as b_present),
+kl_grid as (
+  select t.source, t.n_s, kl_cb.b, kl_cb.c_b, coalesce(s.c_sb, 0) as c_sb
+  from kl_tot t cross join kl_cb
+  left join kl_sb s on s.source = t.source and s.b = kl_cb.b),
+kl_pres as (
+  select source, n_s,
+         sum(round(((c_sb + 1) / (n_s + 1024.0))
+                   * ln(((c_sb + 1) / (n_s + 1024.0)) / ((c_b + 1) / (n + 1024.0)))
+                   * 1e12)::BIGINT)::BIGINT as klp
+  from kl_grid cross join kl_ct group by 1, 2)
+select source, n_s as n_tokens,
+       (klp + (1024 - b_present)
+              * round((1.0 / (n_s + 1024.0))
+                      * ln((1.0 / (n_s + 1024.0)) / (1.0 / (n + 1024.0)))
+                      * 1e12)::BIGINT)::BIGINT as kl_pico
+from kl_pres cross join kl_ct
+order by source
+"""
+
+
+def q99_bloom_decontaminate(spark, sf):
+    """Bloom-filter benchmark decontamination
+    (operators/dedup.py::bloom_decontaminate, m=2^16 bits × k=3 probes):
+    q72's hygiene pass through a fixed-width membership structure — the
+    broadcast side is ≤ m int positions regardless of eval-suite size,
+    bought with a replayable false-positive rate. Probes use the md5-60
+    bridge, so DuckDB rebuilds the identical bit pattern and the oracle
+    hash-checks false positives included (and the pytest invariant pins
+    the result to a superset of q72's exact answer)."""
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return DD.bloom_decontaminate(train, bench, n=3, m=1 << 16, k=3, min_hits=1)
+
+
+_SQL_Q99 = f"""
+with bd_probe_r as (select unnest([0, 1, 2]) as r),
+bd_bg as (
+  select distinct unnest(sh) as g
+  from (select {_sql_shingles(3)} as sh
+        from (select {_SQL_TOKS} as toks from documents where doc_id % 50 = 0))),
+bd_bits as (
+  select distinct ('0x' || substr(md5(g || '#bf' || r::VARCHAR), 1, 15))::BIGINT % 65536 as pos
+  from bd_bg cross join bd_probe_r),
+bd_tg as (
+  select doc_id, unnest(sh) as g
+  from (select doc_id, {_sql_shingles(3)} as sh
+        from (select doc_id, {_SQL_TOKS} as toks from documents where doc_id % 50 <> 0))),
+bd_hits as (
+  select p.doc_id, p.g
+  from (select doc_id, g, r,
+               ('0x' || substr(md5(g || '#bf' || r::VARCHAR), 1, 15))::BIGINT % 65536 as pos
+        from bd_tg cross join bd_probe_r) p
+  join bd_bits b on p.pos = b.pos
+  group by p.doc_id, p.g
+  having count(distinct p.r) = 3)
+select doc_id, count(distinct g) as n_hit_grams
+from bd_hits group by doc_id having count(distinct g) >= 1
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 88 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 92 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
@@ -3567,6 +3798,10 @@ SPARK_QUERIES = {
     "q93_chunk_documents": q93_chunk_documents,
     "q94_paragraph_dedup": q94_paragraph_dedup,
     "q95_fuzzy_dedup": q95_fuzzy_dedup,
+    "q96_hll_distinct": q96_hll_distinct,
+    "q97_cms_heavy_hitters": q97_cms_heavy_hitters,
+    "q98_source_kl": q98_source_kl,
+    "q99_bloom_decontaminate": q99_bloom_decontaminate,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3592,6 +3827,7 @@ SPARK_QUERIES = {
     "x68_knn_pq": x68_knn_pq,
     "x69_knn_ivfpq": x69_knn_ivfpq,
     "x71_semdedup_kmeans": x71_semdedup_kmeans,
+    "x72_streaming_hll": x72_streaming_hll,
 }
 
 ORACLE_SQL = {
@@ -3668,6 +3904,10 @@ ORACLE_SQL = {
     "q93_chunk_documents": _SQL_Q93,
     "q94_paragraph_dedup": _SQL_Q94,
     "q95_fuzzy_dedup": _sql_q95(),
+    "q96_hll_distinct": _sql_q96(),
+    "q97_cms_heavy_hitters": _SQL_Q97,
+    "q98_source_kl": _SQL_Q98,
+    "q99_bloom_decontaminate": _SQL_Q99,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

@@ -216,6 +216,9 @@ HEADLINE = [
     # round-5 batch 8: SemDeDup and CCNet paragraph dedup
     "q91_semdedup",
     "q94_paragraph_dedup",
+    # round-5 batch 9: mergeable sketches + mixture diagnostic
+    "q96_hll_distinct",
+    "q98_source_kl",
 ]
 
 

@@ -258,3 +258,88 @@ def test_bm25_no_sort_merge_joins(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_hll_register_exchange_bounded(spark, sf_dir):
+    """The HLL register build must be ONE keyed exchange fed by a
+    map-side partial max — the exchange carries (reg, partial mj) rows,
+    bounded by 256 per upstream partition, never the token stream."""
+    from arxiv_crawler_spark.operators.sketches import hll_registers
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    p = plan_of(hll_registers(toks, "token", p=8), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" not in p
+    assert p.count("HashAggregate") == 2  # partial + final max
+
+
+def test_cms_probe_broadcasts_sketch_not_stream(spark, sf_dir):
+    """The CMS probe join must broadcast the ≤ d·w-row sketch side even
+    with size-based auto-broadcast off (the hint is justified by the
+    sketch's construction bound), and no broadcast may carry the raw
+    stream's text column."""
+    from arxiv_crawler_spark.operators.sketches import cms_build, cms_query
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sk = cms_build(toks, "token", d=4, w=512)
+        p = plan_of(cms_query(sk, toks.distinct(), "token", d=4, w=512), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_source_kl_exchanges_carry_cells_not_text(spark, sf_dir):
+    """source_kl's corpus pass must reduce to (key, bucket) cells before
+    anything shuffles: no exchange input may carry the document text or
+    the exploded token column, and the single tokenize pass is reused
+    through the persisted cell table."""
+    from arxiv_crawler_spark.operators.sampling import source_kl
+
+    docs = load(spark, sf_dir, "documents")
+    df = source_kl(docs, key_col="source", text_col="text", n_buckets=256)
+    try:
+        p = plan_of(df, "formatted")
+        assert "InMemoryTableScan" in p  # one tokenize pass, cached cells
+        for b in p.split("\n\n"):
+            first = b.splitlines()[0] if b.splitlines() else ""
+            if first.lstrip().startswith("(") and "Exchange" in first:
+                in_line = next(
+                    (ln for ln in b.splitlines() if ln.strip().startswith("Input")), ""
+                )
+                assert "text" not in in_line and "_t#" not in in_line, b
+    finally:
+        for (rdd_id, rdd) in list(spark.sparkContext._jsc.getPersistentRDDs().items()):
+            rdd.unpersist()
+
+
+def test_bloom_decontaminate_broadcasts_bits_not_grams(spark, sf_dir):
+    """The Bloom probe join must broadcast the position table (bounded by
+    the m literal — the hint is justified by construction) even with
+    size-based auto-broadcast off, and no broadcast input may carry gram
+    or text strings: the corpus side streams map-side, its only shuffles
+    the two post-join hit aggregates."""
+    from arxiv_crawler_spark.operators.dedup import bloom_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(bloom_decontaminate(train, bench), "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    for b in p.split("\n\n"):
+        first = b.splitlines()[0] if b.splitlines() else ""
+        if first.lstrip().startswith("(") and "BroadcastExchange" in first:
+            in_line = next(
+                (ln for ln in b.splitlines() if ln.strip().startswith("Input")), ""
+            )
+            assert "text" not in in_line and "g#" not in in_line, b

@@ -461,3 +461,42 @@ def test_streaming_exact_dedup_equals_batch(spark, tmp_path_factory):
     # the late-arriving smaller id (5) must have displaced keeper 10
     alpha = want[want["keeper_id"] == 5]
     assert len(alpha) == 1 and int(alpha["dup_count"].iloc[0]) == 3
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path_factory):
+    """hll_registers is a plain groupBy/max, so it runs unchanged as a
+    streaming aggregation over the store tail (x72): the stream's final
+    register table must equal the batch registers over the committed
+    fetched log — same sketch, maintained live."""
+    import tempfile
+
+    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
+    from arxiv_crawler_spark.operators.sketches import hll_registers
+    from arxiv_crawler_spark.streaming.tail import stream_fetched
+
+    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
+    store = str(tmp_path_factory.mktemp("hll_tail_store"))
+    eng = CrawlEngine(
+        spark, store, pages,
+        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=False),
+    )
+    eng.bootstrap(gen_seeds(24, n_seeds=3))
+    eng.run()
+
+    q = (
+        hll_registers(stream_fetched(spark, store).select("url"), "url", p=8)
+        .writeStream.format("memory").queryName("hll_tail_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hll_tail_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select reg, mj from hll_tail_regs").collect())
+    )
+    want = sorted(
+        map(tuple, hll_registers(eng.store.fetched().select("url"), "url", p=8).collect())
+    )
+    assert got == want and len(want) > 0
