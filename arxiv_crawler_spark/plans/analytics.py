@@ -3321,17 +3321,10 @@ from sd_asg a left join sd_drop d on a.vec_id = d.vec_id
 """
 
 
-def q92_url_filter(spark, sf):
-    """RefinedWeb-style URL-level filtering
-    (functions/urls.py::url_quality_signals): blocklist word scoring
-    (hard 1.0 / soft 0.5 weights), path digit-ratio, length cap, ad
-    subdomain — over deterministically noisy URLs derived from doc_id so
-    the oracle reproduces the whole gate. The signal struct is pure
-    built-in string expressions: as a filter it runs inside the scan's
-    codegen stage — at 100 TB this is a row gate fused into the read, not
-    a pass."""
-    from arxiv_crawler_spark.functions.urls import url_quality_signals
-
+def _synth_doc_urls(spark, sf):
+    """Deterministically noisy (doc_id, host, url) fixture shared by
+    q92/q100 — derived purely from doc_id so both SQL oracles rebuild the
+    identical URLs."""
     i = F.col("doc_id")
     seg = (
         F.when(i % 7 == 0, F.lit("casino-bonus"))
@@ -3346,10 +3339,25 @@ def q92_url_filter(spark, sf):
         F.when(i % 11 == 0, F.lit("ads.")).otherwise(F.lit("")),
         F.lit("h"), (i % 13).cast("string"), F.lit(".example.com"),
     )
-    urls = load(spark, sf, "documents").select(
+    return load(spark, sf, "documents").select(
         "doc_id",
+        host.alias("host"),
         F.concat(F.lit("https://"), host, F.lit("/"), seg, F.lit("/"), i.cast("string")).alias("url"),
     )
+
+
+def q92_url_filter(spark, sf):
+    """RefinedWeb-style URL-level filtering
+    (functions/urls.py::url_quality_signals): blocklist word scoring
+    (hard 1.0 / soft 0.5 weights), path digit-ratio, length cap, ad
+    subdomain — over deterministically noisy URLs derived from doc_id so
+    the oracle reproduces the whole gate. The signal struct is pure
+    built-in string expressions: as a filter it runs inside the scan's
+    codegen stage — at 100 TB this is a row gate fused into the read, not
+    a pass."""
+    from arxiv_crawler_spark.functions.urls import url_quality_signals
+
+    urls = _synth_doc_urls(spark, sf).select("doc_id", "url")
     return urls.select(
         "doc_id", "url", url_quality_signals(F.col("url")).alias("s")
     ).select(
@@ -3710,9 +3718,71 @@ from bd_hits group by doc_id having count(distinct g) >= 1
 """
 
 
+def q100_robots_filter(spark, sf):
+    """Robots-compliance corpus filter (X6 politeness → curation): apply
+    per-host robots disallow prefixes to an EXISTING document corpus with
+    the crawl engine's own matcher
+    (crawl/politeness.py::split_robots_denied — the exact prefix
+    semantics the scheduler enforces per round), returning the opted-out
+    rows. This is the retroactive form of crawl politeness every
+    responsible training-data pipeline needs: hosts publish new rules
+    after the crawl, and the corpus must honor them. The shipped join
+    side is O(hosts that forbid something) — empty-disallow hosts are
+    dropped before the broadcast — and the corpus streams map-side
+    through it; the path strip and prefix match are pure JVM string
+    expressions."""
+    from arxiv_crawler_spark.crawl.politeness import split_robots_denied
+
+    rules = spark.createDataFrame(
+        [
+            ("h0.example.com", ["/research", "/files"]),
+            ("h3.example.com", ["/blog"]),
+            ("h5.example.com", ["/"]),  # full-host opt-out
+            ("ads.h0.example.com", ["/promo"]),
+        ],
+        "host string, disallow array<string>",
+    )
+    links = _synth_doc_urls(spark, sf)
+    _, denied = split_robots_denied(links, rules)
+    return denied.select("doc_id", "host", "url").orderBy("doc_id")
+
+
+_SQL_Q100 = """
+with rb_u as (
+  select doc_id,
+         (case when doc_id % 11 = 0 then 'ads.' else '' end)
+           || 'h' || (doc_id % 13) || '.example.com' as host,
+         'https://' || (case when doc_id % 11 = 0 then 'ads.' else '' end)
+           || 'h' || (doc_id % 13) || '.example.com/'
+           || (case doc_id % 7
+                 when 0 then 'casino-bonus'
+                 when 1 then 'research/paper'
+                 when 2 then 'files/' || (doc_id * doc_id)
+                 when 3 then 'blog/how-to'
+                 when 4 then 'promo/free-download'
+                 when 5 then 'docs/v' || (doc_id % 10)
+                 else 'a/' || repeat('x', (doc_id % 40) * 3)
+               end)
+           || '/' || doc_id as url
+  from documents),
+rb_r(host, prefix) as (values
+  ('h0.example.com', '/research'), ('h0.example.com', '/files'),
+  ('h3.example.com', '/blog'), ('h5.example.com', '/'),
+  ('ads.h0.example.com', '/promo'))
+select doc_id, host, url
+from rb_u p
+where exists (
+  select 1 from rb_r r
+  where r.host = p.host
+    and starts_with(
+      regexp_replace(p.url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''), r.prefix))
+order by doc_id
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 92 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 93 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
@@ -3802,6 +3872,7 @@ SPARK_QUERIES = {
     "q97_cms_heavy_hitters": q97_cms_heavy_hitters,
     "q98_source_kl": q98_source_kl,
     "q99_bloom_decontaminate": q99_bloom_decontaminate,
+    "q100_robots_filter": q100_robots_filter,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3908,6 +3979,7 @@ ORACLE_SQL = {
     "q97_cms_heavy_hitters": _SQL_Q97,
     "q98_source_kl": _SQL_Q98,
     "q99_bloom_decontaminate": _SQL_Q99,
+    "q100_robots_filter": _SQL_Q100,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),
