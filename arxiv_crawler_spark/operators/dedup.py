@@ -52,6 +52,7 @@ __all__ = [
     "winnow_fingerprints",
     "semdedup",
     "paragraph_dedup",
+    "remove_boilerplate",
 ]
 
 
@@ -865,6 +866,81 @@ def semdedup(
         F.col(id_col),
         F.col(cluster_col),
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 8,
+    max_df: int = 5,
+) -> DataFrame:
+    """Boilerplate paragraph removal (the C4/CCNet companion to
+    :func:`paragraph_dedup`): drop every copy of a paragraph block whose
+    corpus-wide DOCUMENT FREQUENCY exceeds ``max_df`` — headers, footers,
+    navigation, cookie banners — while keeping ALL copies of ordinary
+    text. First-wins dedup answers "have I stored this before"; this
+    answers "is this paragraph site furniture" — orthogonal gates a
+    pipeline runs back-to-back. Returns
+    ``(id, n_paras, n_kept, text_clean)``, one row per input document.
+
+    Same block convention as paragraph_dedup (non-overlapping
+    ``block_tokens``-token blocks; a newline corpus swaps the explode for
+    split('\\n')).
+
+    Plan shape at 100 TB: explode → ONE groupBy on the 16-byte paragraph
+    md5 for the df counts (map-side partial, paragraph text never keys an
+    exchange) → the >max_df survivors form the hot-hash table, joined
+    back as a flag (selective by definition — boilerplate is the tail of
+    the df distribution — so Catalyst will usually broadcast it; no
+    forced hint, since an adversarial corpus can make it large) → one
+    doc-keyed reassembly groupBy."""
+    toks = tokens(F.col(text_col))
+    paras = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(block_tokens)),
+        lambda s: F.array_join(F.slice(toks, s, block_tokens), " "),
+    )
+    ex = (
+        df.select(F.col(id_col), F.posexplode(paras).alias("pos", "para"))
+        .filter(F.col("para") != "")
+        .withColumn("para_hash", F.md5("para"))
+    )
+    hot = (
+        ex.groupBy("para_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("para_hash", F.lit(True).alias("_hot"))
+    )
+    per_doc = (
+        ex.join(hot, "para_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_hot").isNull().cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_hot").isNull(), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
     )
 
 

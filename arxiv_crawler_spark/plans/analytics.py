@@ -3780,9 +3780,52 @@ order by doc_id
 """
 
 
+def q101_remove_boilerplate(spark, sf):
+    """Boilerplate paragraph removal (operators/dedup.py::
+    remove_boilerplate, the C4/CCNet site-furniture gate): drop EVERY
+    copy of an 8-token block whose corpus document frequency exceeds 3 —
+    headers/footers/navigation — while keeping all copies of ordinary
+    text. Orthogonal to q94's first-wins dedup (which keeps exactly one
+    copy of everything); a pipeline runs both back-to-back. One 16-byte
+    hash-keyed df aggregate + one doc-keyed reassembly; the hot-hash
+    table is the df-distribution tail, joined back as a flag."""
+    return DD.remove_boilerplate(
+        load(spark, sf, "documents"), block_tokens=8, max_df=3
+    )
+
+
+_SQL_Q101 = """
+with bp_t as (
+  select doc_id, list_filter(string_split(text, ' '), x -> x <> '') as toks
+  from documents),
+bp_p as (
+  select doc_id, cast((start - 1) // 8 as int) as pos,
+         array_to_string(list_slice(toks, start, start + 7), ' ') as para
+  from (select doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1), 8)) as start
+        from bp_t)
+  where array_to_string(list_slice(toks, start, start + 7), ' ') <> ''),
+bp_hot as (
+  select para from bp_p group by para having count(distinct doc_id) > 3),
+bp_g as (
+  select p.doc_id,
+         count(*) as n_paras,
+         count(*) filter (where h.para is null) as n_kept,
+         string_agg(p.para, ' ' order by p.pos) filter (where h.para is null)
+           as text_clean
+  from bp_p p left join bp_hot h on p.para = h.para
+  group by p.doc_id)
+select d.doc_id,
+       coalesce(g.n_paras, 0) as n_paras,
+       coalesce(g.n_kept, 0) as n_kept,
+       coalesce(g.text_clean, '') as text_clean
+from documents d left join bp_g g on d.doc_id = g.doc_id
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 93 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 94 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
@@ -3873,6 +3916,7 @@ SPARK_QUERIES = {
     "q98_source_kl": q98_source_kl,
     "q99_bloom_decontaminate": q99_bloom_decontaminate,
     "q100_robots_filter": q100_robots_filter,
+    "q101_remove_boilerplate": q101_remove_boilerplate,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -3980,6 +4024,7 @@ ORACLE_SQL = {
     "q98_source_kl": _SQL_Q98,
     "q99_bloom_decontaminate": _SQL_Q99,
     "q100_robots_filter": _SQL_Q100,
+    "q101_remove_boilerplate": _SQL_Q101,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

@@ -1208,3 +1208,40 @@ def test_paragraph_dedup_in_doc_repeat_and_tail_block(spark):
     df = spark.createDataFrame([(7, "x y x y z")], "doc_id long, text string")
     [r] = DD.paragraph_dedup(df, block_tokens=2).collect()
     assert (r["n_paras"], r["n_kept"], r["text_deduped"]) == (3, 2, "x y z")
+
+
+def test_remove_boilerplate_drops_hot_blocks_keeps_copies(spark):
+    # Block size 2, max_df 2: "h f" appears in 3 docs -> boilerplate,
+    # ALL copies dropped; "c d" appears in 2 docs -> kept in BOTH
+    # (the contrast with paragraph_dedup's first-wins); empty doc stays.
+    df = spark.createDataFrame(
+        [
+            (1, "h f a b"),
+            (2, "h f c d"),
+            (3, "h f c d"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+        for r in DD.remove_boilerplate(df, block_tokens=2, max_df=2).collect()
+    }
+    assert got == {
+        1: (2, 1, "a b"),
+        2: (2, 1, "c d"),
+        3: (2, 1, "c d"),
+        4: (0, 0, ""),
+    }
+
+
+def test_remove_boilerplate_df_is_document_frequency(spark):
+    # A block repeated 5x INSIDE one doc is df=1 -> never boilerplate.
+    df = spark.createDataFrame(
+        [(1, "x y x y x y x y x y"), (2, "p q")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"])
+        for r in DD.remove_boilerplate(df, block_tokens=2, max_df=2).collect()
+    }
+    assert got == {1: (5, 5), 2: (1, 1)}
