@@ -1761,7 +1761,10 @@ def x56_approx_distinct(spark, sf):
     per-group cardinalities of the smallest fixtures (n≈70-200, the
     sparse-to-dense crossover) the sketch deviates by a handful of counts
     regardless of n (measured max |err| = 6 across sf0.001/sf0.01 groups).
-    The oracle asserts the flag is true against DuckDB's exact count."""
+    The oracle asserts the flag is true against DuckDB's exact count.
+    (q96 is the complementary evidence: the hand-rolled HLL in
+    operators/sketches.py exposes its registers, so there the estimate
+    itself is value-hash-replayed in DuckDB.)"""
     d = load(spark, sf, "documents")
     exact = F.count_distinct(F.col("text"))
     return d.groupBy("lang").agg(

@@ -160,3 +160,45 @@ def test_token_budget_matches_python_rule_randomized(spark):
                 break
             want[d] = t
         assert got == want, (trial, budget, nbins)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_sketches_match_pure_python_mirrors(spark):
+    """HLL registers and CMS cells, case-by-case against independent
+    pure-Python mirrors of the md5-60 bridge spec — bit parity of the
+    sketch contents themselves (register split, rho from the 52-bit
+    tail, cell hashing), not just the estimates."""
+    from arxiv_crawler_spark.operators.sketches import cms_build, hll_registers
+
+    rng = random.Random(20260818)
+    for case in range(12):
+        items = [
+            "w%d" % rng.randrange(1, 200) for _ in range(rng.randrange(1, 120))
+        ]
+        df = spark.createDataFrame([(v,) for v in items], "v string")
+
+        regs_py: dict[int, int] = {}
+        for v in set(items):
+            h = _md5_60(v)
+            tail = h & ((1 << 52) - 1)
+            rho = 53 if tail == 0 else 53 - tail.bit_length()
+            reg = h >> 52
+            regs_py[reg] = max(regs_py.get(reg, 0), rho)
+        got_regs = {
+            r["reg"]: r["mj"] for r in hll_registers(df, "v", p=8).collect()
+        }
+        assert got_regs == regs_py, f"HLL case {case}"
+
+        cells_py: dict[tuple[int, int], int] = {}
+        for v in items:
+            for r in range(4):
+                key = (r, _md5_60(f"{v}#cms{r}") % 64)
+                cells_py[key] = cells_py.get(key, 0) + 1
+        got_cells = {
+            (r["r"], r["bucket"]): r["cnt"]
+            for r in cms_build(df, "v", d=4, w=64).collect()
+        }
+        assert got_cells == cells_py, f"CMS case {case}"
