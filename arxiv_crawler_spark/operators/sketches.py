@@ -43,6 +43,8 @@ __all__ = [
     "hll_registers",
     "hll_merge",
     "hll_estimate",
+    "hll_registers_by",
+    "hll_estimate_by",
     "cms_build",
     "cms_merge",
     "cms_query",
@@ -100,40 +102,81 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     return out.groupBy("reg").agg(F.max("mj").alias("mj"))
 
 
-def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
-    """Fold a register table into the HLL cardinality estimate.
-
-    Single-row output: (m, nonzero_regs, sumw, est_micro) where
-    ``sumw = Σ_j 2^(SCALE - M_j)`` over all m registers (absent rows are
-    M_j = 0) with SCALE = 61-p — an exact BIGINT, so the indicator sum is
-    immune to float summation order. The raw estimate
-    ``alpha_m · m² / Z`` (Z = sumw / 2^SCALE) collapses to one double
-    division ``A / sumw`` with the driver-side literal
-    A = alpha_m · m² · 2^SCALE; the small-range branch is linear counting
-    ``m · ln(m / zeros)``. est_micro is the estimate in integer
-    micro-units (round half-up), the hash-stable form.
-    """
-    m = 1 << p
-    scale = _HASH_BITS - p + 1
-    a_lit = float(_alpha(m)) * m * m * float(1 << scale)
-    agg = registers.agg(
+def _fold_aggs(m: int, scale: int) -> list:
+    """The two register-fold aggregates: live-register count and the
+    exact-BIGINT indicator sum Σ_j 2^(SCALE - M_j) over all m registers
+    (absent rows are M_j = 0) — float-summation-order-proof."""
+    return [
         F.count("*").cast("long").alias("nonzero_regs"),
         (
             F.sum(F.pow(F.lit(2.0), F.lit(scale) - F.col("mj")).cast("long"))
             + (F.lit(m) - F.count("*")) * F.lit(1 << scale)
         ).alias("sumw"),
-    )
+    ]
+
+
+def _est_micro(m: int, scale: int):
+    """Estimate column over folded (nonzero_regs, sumw): the raw
+    ``alpha_m · m² / Z`` (Z = sumw / 2^SCALE) collapses to one double
+    division ``A / sumw`` with the driver-side literal
+    A = alpha_m · m² · 2^SCALE; the small-range branch is linear counting
+    ``m · ln(m / zeros)``. Integer micro-units (round half-up) — the
+    hash-stable form every oracle replays."""
+    a_lit = float(_alpha(m)) * m * m * float(1 << scale)
     zeros = F.lit(m) - F.col("nonzero_regs")
     raw = F.lit(a_lit) / F.col("sumw").cast("double")
     est = F.when(
         (zeros > 0) & (raw <= F.lit(2.5 * m)),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    return agg.select(
-        F.lit(m).alias("m"),
-        "nonzero_regs",
-        "sumw",
-        F.round(est * F.lit(1000000.0)).cast("long").alias("est_micro"),
+    return F.round(est * F.lit(1000000.0)).cast("long").alias("est_micro")
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Fold a register table into the HLL cardinality estimate: single
+    row (m, nonzero_regs, sumw, est_micro) — see :func:`_fold_aggs` /
+    :func:`_est_micro` for the exact arithmetic contract."""
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
+    return registers.agg(*_fold_aggs(m, scale)).select(
+        F.lit(m).alias("m"), "nonzero_regs", "sumw", _est_micro(m, scale)
+    )
+
+
+def hll_registers_by(
+    df: DataFrame, key_col: str, col: str = "url", p: int = 8
+) -> DataFrame:
+    """Grouped HLL registers: (key, reg, mj), ≤ 2^p rows per key — the
+    per-key form of :func:`hll_registers` for "distinct URLs per host" /
+    "distinct tokens per source" questions where an exact per-key
+    countDistinct would shuffle the corpus. The exchange after the
+    map-side partial max is ≤ |keys|·m rows; merging across shards is
+    the same per-(key, reg) max."""
+    tail_bits = _HASH_BITS - p
+    h = md5_hash64(F.col(col))
+    tail = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    rho = F.when(tail == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits + 1) - F.length(F.bin(tail))
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.shiftright(h, tail_bits).cast("int").alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("key", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Per-key estimates over :func:`hll_registers_by` output:
+    (key, nonzero_regs, sumw, est_micro) — identical arithmetic to
+    :func:`hll_estimate`, one row per key."""
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
+    return registers.groupBy("key").agg(*_fold_aggs(m, scale)).select(
+        "key", "nonzero_regs", "sumw", _est_micro(m, scale)
     )
 
 

@@ -3826,9 +3826,71 @@ from documents d left join bp_g g on d.doc_id = g.doc_id
 """
 
 
+def q102_hll_by_key(spark, sf):
+    """Grouped HLL distinct-token counts per language
+    (operators/sketches.py::hll_registers_by/hll_estimate_by): the
+    per-key cardinality question — distinct URLs per host, distinct
+    tokens per source — whose exact form (countDistinct per key) shuffles
+    the corpus at 10^10 rows. Here the exchange is ≤ |keys|·256 register
+    rows; identical estimate arithmetic to q96, replayed per key by
+    DuckDB, with the exact count as the per-key accuracy witness."""
+    from arxiv_crawler_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    est = hll_estimate_by(hll_registers_by(toks, "lang", "token", p=8), p=8)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").cast("long").alias("exact_cnt")
+    )
+    return (
+        est.join(exact, est["key"] == exact["lang"])
+        .select(
+            F.col("lang"), "nonzero_regs", "sumw", "est_micro", "exact_cnt"
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_q102() -> str:
+    from arxiv_crawler_spark.operators.sketches import _alpha
+
+    a_lit = repr(float(_alpha(256)) * 256 * 256 * float(1 << 53))
+    return f"""
+with ghll_toks as (
+  select lang, unnest(toks) as token
+  from (select lang, {_SQL_TOKS} as toks from documents)),
+ghll_r as (
+  select lang, h >> 52 as reg,
+         case when (h % 4503599627370496) = 0 then 53
+              else 53 - length(bin(h % 4503599627370496)) end as rho
+  from (select lang, ('0x' || substr(md5(token), 1, 15))::BIGINT as h
+        from ghll_toks)),
+ghll_regs as (select lang, reg, max(rho) as mj from ghll_r group by 1, 2),
+ghll_agg as (
+  select lang, count(*)::BIGINT as nonzero_regs,
+         (sum((2 ** (53 - mj))::BIGINT)
+          + (256 - count(*)) * 9007199254740992)::BIGINT as sumw
+  from ghll_regs group by 1),
+ghll_ex as (
+  select lang, count(distinct token)::BIGINT as exact_cnt
+  from ghll_toks group by 1)
+select a.lang, nonzero_regs, sumw,
+       round(case when (256 - nonzero_regs) > 0
+                       and ({a_lit} / sumw) <= 640.0
+                  then 256.0 * ln(256.0 / (256 - nonzero_regs))
+                  else {a_lit} / sumw end * 1000000.0)::BIGINT as est_micro,
+       exact_cnt
+from ghll_agg a join ghll_ex e on a.lang = e.lang
+order by a.lang
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 94 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 95 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
@@ -3920,6 +3982,7 @@ SPARK_QUERIES = {
     "q99_bloom_decontaminate": q99_bloom_decontaminate,
     "q100_robots_filter": q100_robots_filter,
     "q101_remove_boilerplate": q101_remove_boilerplate,
+    "q102_hll_by_key": q102_hll_by_key,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -4028,6 +4091,7 @@ ORACLE_SQL = {
     "q99_bloom_decontaminate": _SQL_Q99,
     "q100_robots_filter": _SQL_Q100,
     "q101_remove_boilerplate": _SQL_Q101,
+    "q102_hll_by_key": _sql_q102(),
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

@@ -176,3 +176,34 @@ class TestBloomDecontaminate:
 
         items = spark.range(5000).selectExpr("concat('g', id) as g")
         assert bloom_bits(items, "g", m=256, k=3).count() <= 256
+
+
+class TestGroupedHLL:
+    def test_grouped_registers_match_per_slice(self, spark):
+        """hll_registers_by(key) must equal hll_registers run on each
+        key's slice — the grouped form is the same sketch, partitioned."""
+        from arxiv_crawler_spark.operators.sketches import (
+            hll_estimate_by,
+            hll_registers,
+            hll_registers_by,
+        )
+
+        df = spark.range(3000).select(
+            F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias("key"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+        )
+        grouped = {
+            (r["key"], r["reg"]): r["mj"]
+            for r in hll_registers_by(df, "key", "v", p=8).collect()
+        }
+        for k in ("k0", "k1", "k2"):
+            solo = {
+                (k, r["reg"]): r["mj"]
+                for r in hll_registers(df.filter(F.col("key") == k), "v", p=8).collect()
+            }
+            assert solo == {kk: v for kk, v in grouped.items() if kk[0] == k}
+
+        ests = {r["key"]: r["est_micro"] / 1e6
+                for r in hll_estimate_by(hll_registers_by(df, "key", "v", p=8)).collect()}
+        for k in ests:
+            assert abs(ests[k] - 1000) / 1000 < 0.15, (k, ests[k])
