@@ -5,9 +5,9 @@ deterministic synthetic TEI world (frontier → wave → fetch-join → Arrow
 extraction → anti-join dedupe → frontier merge → snapshot), returning the
 pop-ordered crawl trace.
 
-``queries()`` (105) / ``oracle_sql()`` (95) — the operator surface of SURVEY.md §2 plus
+``queries()`` (106) / ``oracle_sql()`` (96) — the operator surface of SURVEY.md §2 plus
 the training-data-pipeline operators (dedup / similarity search / text
-analysis / multimodal), checked against DuckDB at sf=0.01. All 95
+analysis / multimodal), checked against DuckDB at sf=0.01. All 96
 oracle-backed entries are ordered ahead of the 10 rows-only ones so the
 driver's 50-entry CORRECTNESS window records only hash-checked rows.
 """

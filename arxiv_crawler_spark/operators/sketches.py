@@ -45,6 +45,8 @@ __all__ = [
     "hll_estimate",
     "hll_registers_by",
     "hll_estimate_by",
+    "quantile_bins",
+    "quantile_estimates",
     "cms_build",
     "cms_merge",
     "cms_query",
@@ -178,6 +180,67 @@ def hll_estimate_by(registers: DataFrame, p: int = 8) -> DataFrame:
     return registers.groupBy("key").agg(*_fold_aggs(m, scale)).select(
         "key", "nonzero_regs", "sumw", _est_micro(m, scale)
     )
+
+
+def quantile_bins(df: DataFrame, col: str, n_sub: int = 16) -> DataFrame:
+    """Mergeable quantile histogram over a non-negative integer column:
+    log₂ bins split into ``n_sub`` equal sub-bins — bin key
+    ``b·n_sub + s`` with b = ⌊log₂ x⌋ (from ``length(bin(x))``, the same
+    cross-engine trick as the HLL rho) and s = ⌊(x − 2^b)·n_sub / 2^b⌋;
+    x = 0 keys bin −1. Relative bin width is 1/n_sub ≈ 6% at the default,
+    which bounds the quantile estimate's relative error the way t-digest
+    does — but deterministically and engine-replayably, where Spark's
+    ``approx_percentile`` sketch is opaque (the x56 story, for
+    percentiles). Returns (bin, cnt): ≤ ~64·n_sub rows however large the
+    input; shards merge by per-bin sum."""
+    x = F.col(col).cast("long")
+    b = F.length(F.bin(x)) - 1
+    p2 = F.pow(F.lit(2.0), b).cast("long")
+    key = F.when(x <= 0, F.lit(-1)).otherwise(
+        b * n_sub + F.floor((x - p2) * n_sub / p2)
+    )
+    return (
+        df.select(key.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_estimates(
+    bins: DataFrame, qs: list[float] = (0.5, 0.9, 0.99), n_sub: int = 16
+) -> DataFrame:
+    """Quantile point estimates from a :func:`quantile_bins` histogram:
+    for each q, rank ⌈q·N⌉ is located in the cumulative bin counts and
+    linearly interpolated inside its bin — (q, n, est_micro), one row per
+    requested quantile, all arithmetic a fixed sequence of exact-integer
+    and literal double ops (hash-replayable). The cumsum window runs over
+    the ≤ ~64·n_sub-row histogram — a bounded table by construction,
+    never the data."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(bins.agg(F.sum("cnt").alias("n"))))
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    j = cum.crossJoin(F.broadcast(qdf)).filter(
+        (F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        & ((F.col("cum") - F.col("cnt")) < F.ceil(F.col("q") * F.col("n")))
+    )
+    b = F.floor(F.col("bin") / n_sub)
+    s = F.col("bin") % n_sub
+    p2 = F.pow(F.lit(2.0), b)
+    low = p2 + s.cast("double") * (p2 / F.lit(float(n_sub)))
+    width = p2 / F.lit(float(n_sub))
+    target = F.ceil(F.col("q") * F.col("n")).cast("double")
+    est = F.when(F.col("bin") < 0, F.lit(0.0)).otherwise(
+        low + width * ((target - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+    )
+    return j.select(
+        "q",
+        F.col("n"),
+        F.round(est * F.lit(1000000.0)).cast("long").alias("est_micro"),
+    ).orderBy("q")
 
 
 def cms_build(df: DataFrame, col: str = "token", d: int = 4, w: int = 512) -> DataFrame:

@@ -3888,9 +3888,87 @@ order by a.lang
 """
 
 
+def q103_quantile_sketch(spark, sf):
+    """Mergeable quantile sketch over document token counts
+    (operators/sketches.py::quantile_bins/quantile_estimates): log₂×16
+    sub-bin histogram — ≤ ~1k rows however large the corpus, shards merge
+    by per-bin sum — with rank-interpolated P50/P90/P99. Completes the
+    approximate-aggregates trio (q96 cardinality, q97 frequency): where
+    Spark's approx_percentile sketch is engine-opaque, this one's bins
+    AND estimates replay in DuckDB (the x56→q96 move, for percentiles);
+    relative error is bounded by the 1/16 bin width. Exact percentiles
+    ride along as the witness."""
+    from arxiv_crawler_spark.operators.sketches import (
+        quantile_bins,
+        quantile_estimates,
+    )
+
+    lens = load(spark, sf, "documents").select(
+        TX.token_count(F.col("text")).alias("x")
+    )
+    est = quantile_estimates(quantile_bins(lens, "x"), qs=(0.5, 0.9, 0.99))
+    exact = lens.selectExpr(
+        "percentile(x, array(0.5, 0.9, 0.99)) as p"
+    ).select(
+        F.posexplode("p").alias("i", "exact_q")
+    )
+    return (
+        est.withColumn("i", F.round(F.col("q") * 100).cast("int"))
+        .join(
+            exact.withColumn(
+                "i", F.element_at(F.array(F.lit(50), F.lit(90), F.lit(99)), F.col("i") + 1)
+            ),
+            "i",
+        )
+        .select("q", "n", "est_micro", F.col("exact_q").cast("double").alias("exact_q"))
+        .orderBy("q")
+    )
+
+
+_SQL_Q103 = f"""
+with qs_x as (
+  select len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT as x
+  from documents),
+qs_bins as (
+  select case when x <= 0 then -1
+              else ((length(bin(x)) - 1) * 16
+                    + floor((x - (2 ** (length(bin(x)) - 1))::BIGINT) * 16
+                            / (2 ** (length(bin(x)) - 1))::BIGINT))::INT
+         end as bin, count(*) as cnt
+  from qs_x group by 1),
+qs_cum as (
+  select bin, cnt::BIGINT as cnt,
+         (sum(cnt) over (order by bin rows unbounded preceding))::BIGINT as cum,
+         (sum(cnt) over ())::BIGINT as n
+  from qs_bins),
+qs_q as (select unnest([0.5, 0.9, 0.99]) as q),
+qs_hit as (
+  select q, n, bin, cnt, cum, ceil(q * n) as target
+  from qs_cum cross join qs_q
+  where cum >= ceil(q * n) and (cum - cnt) < ceil(q * n)),
+qs_est as (
+  select q, n,
+         round((case when bin < 0 then 0.0
+                     else (2 ** floor(bin / 16))
+                          + (bin % 16) * ((2 ** floor(bin / 16)) / 16.0)
+                          + ((2 ** floor(bin / 16)) / 16.0)
+                            * ((target - (cum - cnt)) / cnt)
+                end) * 1000000.0)::BIGINT as est_micro
+  from qs_hit),
+qs_exact as (
+  select unnest([0.5, 0.9, 0.99]) as q,
+         unnest([quantile_cont(x, 0.5), quantile_cont(x, 0.9),
+                 quantile_cont(x, 0.99)]) as exact_q
+  from qs_x)
+select e.q, n, est_micro, exact_q::DOUBLE as exact_q
+from qs_est e join qs_exact x on e.q = x.q
+order by e.q
+"""
+
+
 # Registry order is an evidence channel: the driver's CORRECTNESS gate
 # records only the FIRST 50 entries, so every oracle-backed query must
-# precede every rows-only one (round-4 verdict item 1). 95 entries carry a
+# precede every rows-only one (round-4 verdict item 1). 96 entries carry a
 # DuckDB oracle; the oracle-backed ones that overflow the window
 # (q04/q05/q08/q12/q15 + x51/x52/x58/x63/x64/x65) are ones whose SURVEY §2
 # ids have redundant in-window or pytest evidence (J6→test_plans plan
@@ -3983,6 +4061,7 @@ SPARK_QUERIES = {
     "q100_robots_filter": q100_robots_filter,
     "q101_remove_boilerplate": q101_remove_boilerplate,
     "q102_hll_by_key": q102_hll_by_key,
+    "q103_quantile_sketch": q103_quantile_sketch,
     "x70_near_dup_report": x70_near_dup_report,
     "q04_broadcast_join": q04_broadcast_join,
     "q05_anti_join": q05_anti_join,
@@ -4092,6 +4171,7 @@ ORACLE_SQL = {
     "q100_robots_filter": _SQL_Q100,
     "q101_remove_boilerplate": _SQL_Q101,
     "q102_hll_by_key": _sql_q102(),
+    "q103_quantile_sketch": _SQL_Q103,
     "x70_near_dup_report": _sql_x70(),
     "x50_crawl_replay": _sql_x50(),
     "x51_extract_tei": _sql_x51(),

@@ -207,3 +207,57 @@ class TestGroupedHLL:
                 for r in hll_estimate_by(hll_registers_by(df, "key", "v", p=8)).collect()}
         for k in ests:
             assert abs(ests[k] - 1000) / 1000 < 0.15, (k, ests[k])
+
+
+class TestQuantileSketch:
+    def test_accuracy_and_monotonicity(self, spark):
+        from arxiv_crawler_spark.operators.sketches import (
+            quantile_bins,
+            quantile_estimates,
+        )
+
+        # skewed integer distribution: x = id^2 % 9973 over 20k rows
+        df = spark.range(20000).selectExpr("cast(id * id % 9973 as long) as x")
+        est = {
+            r["q"]: r["est_micro"] / 1e6
+            for r in quantile_estimates(quantile_bins(df, "x")).collect()
+        }
+        exact = dict(
+            zip(
+                (0.5, 0.9, 0.99),
+                df.selectExpr("percentile(x, array(0.5, 0.9, 0.99)) as p").first()["p"],
+            )
+        )
+        assert est[0.5] <= est[0.9] <= est[0.99]
+        for q in exact:
+            assert abs(est[q] - exact[q]) / max(exact[q], 1) < 0.08, (q, est[q], exact[q])
+
+    def test_merge_equals_whole(self, spark):
+        from pyspark.sql import functions as F2
+
+        from arxiv_crawler_spark.operators.sketches import quantile_bins
+
+        df = spark.range(5000).selectExpr("cast(id % 773 as long) as x")
+        left, right = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+        merged = (
+            quantile_bins(left, "x")
+            .unionByName(quantile_bins(right, "x"))
+            .groupBy("bin")
+            .agg(F2.sum("cnt").alias("cnt"))
+        )
+        whole = quantile_bins(df, "x")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_zeros_and_bin_bound(self, spark):
+        from arxiv_crawler_spark.operators.sketches import (
+            quantile_bins,
+            quantile_estimates,
+        )
+
+        zeros = spark.range(100).selectExpr("cast(0 as long) as x")
+        est = quantile_estimates(quantile_bins(zeros, "x")).collect()
+        assert all(r["est_micro"] == 0 for r in est)
+        wide = spark.range(200000).selectExpr("cast(id as long) as x")
+        assert quantile_bins(wide, "x").count() <= 64 * 16
