@@ -343,3 +343,18 @@ def test_bloom_decontaminate_broadcasts_bits_not_grams(spark, sf_dir):
                 (ln for ln in b.splitlines() if ln.strip().startswith("Input")), ""
             )
             assert "text" not in in_line and "g#" not in in_line, b
+
+
+def test_quantile_bins_single_bounded_exchange(spark, sf_dir):
+    """quantile_bins must reduce the corpus to bin cells with one
+    map-side-combined keyed exchange (≤ ~64·n_sub rows per upstream
+    partition) and no broadcast; the estimate stage's window runs over
+    that bounded histogram, never the data."""
+    from arxiv_crawler_spark.operators.sketches import quantile_bins
+
+    docs = load(spark, sf_dir, "documents")
+    lens = docs.selectExpr("cast(length(text) as long) as x")
+    p = plan_of(quantile_bins(lens, "x"), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" not in p
+    assert p.count("HashAggregate") == 2
