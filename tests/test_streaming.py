@@ -500,3 +500,49 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path_factory):
         map(tuple, hll_registers(eng.store.fetched().select("url"), "url", p=8).collect())
     )
     assert got == want and len(want) > 0
+
+
+def test_windowed_streaming_hll_equals_batch(spark, sf_dir):
+    """Approximate distinct-users-per-window, live: grouped HLL registers
+    keyed by a 6-hour tumbling window run as a streaming aggregation over
+    the events source must equal the batch registers — the windowed form
+    of x72 (cardinality monitoring with bounded per-window state)."""
+    from pyspark.sql import functions as F
+
+    from arxiv_crawler_spark.operators.sketches import hll_registers_by
+
+    events_path = f"{sf_dir}/events.parquet"
+
+    def keyed(df):
+        return df.select(
+            F.window(F.col("ts").cast("timestamp"), "6 hours")["start"].alias("w"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+
+    batch = hll_registers_by(keyed(spark.read.parquet(events_path)), "w", "u", p=8)
+    want = sorted(tuple(r) for r in batch.collect())
+
+    import os
+    import tempfile
+
+    schema = spark.read.parquet(events_path).schema
+    staged = tempfile.mkdtemp(prefix="hll_stream_src_")  # file source needs a dir
+    os.symlink(os.path.abspath(events_path), os.path.join(staged, "part-0.parquet"))
+    stream = hll_registers_by(
+        keyed(spark.readStream.schema(schema).parquet(staged)), "w", "u", p=8
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hll_windowed")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("select key, reg, mj from hll_windowed").collect()
+    )
+    assert got == want and len(want) > 0
