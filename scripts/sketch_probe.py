@@ -54,6 +54,18 @@ def main(n_tokens: int, n_distinct: int) -> None:
     n_cells = cms_build(stream, "token", d=4, w=512).count()
     cms_s = time.monotonic() - t0
 
+    # grouped HLL: 1000 keys over the same stream — the per-host
+    # cardinality question; exchange bounded by |keys|·m
+    from arxiv_crawler_spark.operators.sketches import hll_registers_by
+
+    keyed = spark.range(n_tokens).select(
+        F.concat(F.lit("h"), (F.col("id") % 1000).cast("string")).alias("key"),
+        F.concat(F.lit("tok"), (F.col("id") % n_distinct).cast("string")).alias("token"),
+    )
+    t0 = time.monotonic()
+    n_kregs = hll_registers_by(keyed, "key", "token", p=8).count()
+    ghll_s = time.monotonic() - t0
+
     out = {
         "n_tokens": n_tokens,
         "n_distinct": n_distinct,
@@ -69,6 +81,12 @@ def main(n_tokens: int, n_distinct: int) -> None:
             "build_sec": round(cms_s, 2),
             "tokens_per_sec": round(n_tokens / cms_s),
             "cell_rows": n_cells,
+        },
+        "grouped_hll": {
+            "n_keys": 1000,
+            "build_sec": round(ghll_s, 2),
+            "tokens_per_sec": round(n_tokens / ghll_s),
+            "register_rows": n_kregs,
         },
     }
     print(json.dumps(out))
