@@ -1234,7 +1234,9 @@ def q47_cited_by_contexts(spark, sf):  # J7 P3 F8 (browser/app.py:387-405)
         F.col("cit.arxiv_id").alias("cited"),
         F.col("cit.reference_contexts").alias("ctxs"),
     )
-    ex = ex.join(F.broadcast(valid.distinct()), "cited", "left_semi")
+    # `valid` = the whole crawled corpus's ids (app.py:358) — never force
+    # a broadcast of a corpus-derived side; AQE broadcasts when small.
+    ex = ex.join(valid.distinct(), "cited", "left_semi")
     first = ex.groupBy("cited", "citer").agg(F.min_by("ctxs", "cit_pos").alias("ctxs"))
     c = F.col("citer").cast("long")
     words = F.array(*[F.lit(w) for w in _META_WORDS])

@@ -70,8 +70,13 @@ def process_citations(
         F.col("cit.arxiv_id").alias("cited_arxiv_id"),
         F.col("cit.reference_contexts").alias("reference_contexts"),
     )
+    # valid_ids is corpus-derived (every crawled paper,
+    # build_embeddings_dataset.py:85) — at a 10^10-URL crawl it is the
+    # corpus, so a forced broadcast would demand a multi-GB build side on
+    # every executor. No hint: AQE still picks a broadcast when the side
+    # is actually small; otherwise the semi-join shuffles on the key.
     valid = exploded.join(
-        F.broadcast(valid_ids.select(F.col("arxiv_id").alias("cited_arxiv_id")).distinct()),
+        valid_ids.select(F.col("arxiv_id").alias("cited_arxiv_id")).distinct(),
         "cited_arxiv_id",
         "left_semi",
     )

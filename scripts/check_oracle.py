@@ -36,7 +36,7 @@ def canon_dtype(s: pd.Series) -> str:
             "boolean": "bool"}.get(d, d)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: str | None = None) -> int:
     from arxiv_crawler_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -46,6 +46,9 @@ def main(sf_dir: str) -> int:
         con.sql(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        pats = [p.strip() for p in only.split(",") if p.strip()]
+        qs = {n: f for n, f in qs.items() if any(n.startswith(p) for p in pats)}
     failures = []
     for name, fn in qs.items():
         t0 = time.monotonic()
@@ -92,4 +95,5 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2] if len(sys.argv) > 2 else None))

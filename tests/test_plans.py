@@ -130,6 +130,24 @@ def test_jaccard_pairs_no_corpus_broadcast(spark, sf_dir):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p  # the g-key self-join
 
 
+@pytest.mark.parametrize("name", ["q40_process_citations", "q47_cited_by_contexts"])
+def test_valid_id_semi_join_no_forced_corpus_broadcast(spark, sf_dir, name):
+    """The valid-id membership side of q40/q47 is corpus-derived (every
+    crawled paper's id — build_embeddings_dataset.py:85, app.py:358): a
+    forced broadcast would ship a multi-GB set to every executor at a
+    10^10-URL crawl. With auto-broadcast disabled, only a *forced* hint
+    could still produce a BroadcastExchange — there must be none anywhere
+    in the plan; the semi-join falls back to a key-shuffled join."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(SPARK_QUERIES[name](spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p
+    assert "LeftSemi" in p  # the membership join is still there, shuffled
+
+
 def test_temperature_sample_broadcasts_rates_not_corpus(spark, sf_dir):
     """The corpus side must reach the rates join without shuffling: with
     auto-broadcast off, the only BroadcastExchange allowed is the forced
