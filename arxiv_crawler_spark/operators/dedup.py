@@ -797,6 +797,57 @@ def bloom_decontaminate(
     )
 
 
+def _semdedup_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    centroid_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row quantizer against
+    the streamed corpus, map-side cosine, one ``id_col``-keyed reduce for
+    the argmax (lowest cluster id breaks ties). Returns (id, cluster)."""
+    from arxiv_crawler_spark.operators.knn import cosine
+
+    scored = emb.select(
+        F.col(id_col), F.col(vec_col)
+    ).join(
+        F.broadcast(centroids.select(F.col(cluster_col), F.col(centroid_col)))
+    ).withColumn("_cos", cosine(F.col(vec_col), F.col(centroid_col)))
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(cluster_col),
+            F.struct(F.col("_cos"), (-F.col(cluster_col)).alias("_tb")),
+        ).alias(cluster_col)
+    )
+
+
+def semdedup_oversized_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    centroid_col: str = "centroid",
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """Audit view of the clusters :func:`semdedup` skips under its
+    ``max_cluster`` cap: (cluster, cluster_size) for every oversized
+    cluster — the 'logged drop volume', same contract as
+    :func:`lsh_oversized_buckets`. Route it to lineage at scale; a
+    non-empty result means the k~sqrt(n) balance premise failed for those
+    centroids and their members went through uncapped exact/LSH dedup
+    instead of the quadratic semantic stage."""
+    asg = _semdedup_assign(emb, centroids, id_col, vec_col, cluster_col, centroid_col)
+    return (
+        asg.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") > max_cluster)
+    )
+
+
 def semdedup(
     emb: DataFrame,
     centroids: DataFrame,
@@ -806,6 +857,7 @@ def semdedup(
     cluster_col: str = "cluster",
     centroid_col: str = "centroid",
     tau: float = 0.7,
+    max_cluster: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup —
     assign every embedding to its nearest centroid by cosine, then inside
@@ -819,7 +871,16 @@ def semdedup(
     shuffles the corpus ONCE on ``cluster`` and is quadratic only within a
     cluster, which the SemDeDup premise (k ~ sqrt(n) balanced clusters)
     keeps bounded. No window over the full corpus, no corpus-side
-    broadcast. Train centroids with operators/knn.py's spherical k-means
+    broadcast.
+
+    **Cluster cap** (100-TB guard, mirrors ``lsh_candidate_pairs``'s
+    ``max_bucket``): the premise can fail — one boilerplate-heavy centroid
+    at 10^9 docs puts |c|² cosine work on a single executor. Clusters
+    larger than ``max_cluster`` are skipped by the pairwise stage (their
+    members are all kept — near-identical boilerplate belongs to exact /
+    LSH dedup, which cap-and-audit it already); audit the skipped volume
+    with :func:`semdedup_oversized_clusters`. ``max_cluster=None``
+    disables the cap. Train centroids with operators/knn.py's spherical k-means
     (``AnnIndex``/``ivf_build`` path) at scale; any deterministic centroid
     table works — plans/analytics.py::q91 feeds per-label means so DuckDB
     can reproduce the whole operator for the hash oracle.
@@ -831,19 +892,19 @@ def semdedup(
     """
     from arxiv_crawler_spark.operators.knn import cosine
 
-    scored = emb.select(
-        F.col(id_col), F.col(vec_col)
-    ).join(
-        F.broadcast(centroids.select(F.col(cluster_col), F.col(centroid_col)))
-    ).withColumn("_cos", cosine(F.col(vec_col), F.col(centroid_col)))
-    asg = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.col(cluster_col),
-            F.struct(F.col("_cos"), (-F.col(cluster_col)).alias("_tb")),
-        ).alias(cluster_col)
-    )
+    asg = _semdedup_assign(emb, centroids, id_col, vec_col, cluster_col, centroid_col)
 
     vecs = emb.select(F.col(id_col), F.col(vec_col)).join(asg, id_col)
+    if max_cluster is not None:
+        # The size window shuffles on cluster_col — the same partitioning
+        # the pairwise self-join needs, so the cap adds no extra exchange
+        # on the join's build path beyond the one it already pays.
+        wc = Window.partitionBy(cluster_col)
+        vecs = (
+            vecs.withColumn("_csz", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_csz") <= max_cluster)
+            .drop("_csz")
+        )
     a = vecs.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),

@@ -1139,6 +1139,47 @@ def test_semdedup_argmax_tiebreak_prefers_lowest_cluster(spark):
     assert (row["cluster"], row["is_kept"]) == (3, True)
 
 
+def test_semdedup_max_cluster_cap_skips_hot_cluster(spark):
+    """The 100-TB skew guard: a cluster over max_cluster is skipped by the
+    quadratic pairwise stage — every member stays kept (the boilerplate
+    cluster is exact/LSH dedup's job) — while small clusters still dedup.
+    The same inputs with the cap disabled drop the near-dups, proving the
+    cap (not the data) changed the outcome."""
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]),  # hot cluster 0
+        (10, [0.0, 1.0]), (11, [0.0, 1.0]),                 # small cluster 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cluster int, centroid array<double>"
+    )
+    capped = {
+        r["vec_id"]: r["is_kept"]
+        for r in DD.semdedup(emb, cents, tau=0.9, max_cluster=2).collect()
+    }
+    assert capped == {1: True, 2: True, 3: True, 10: True, 11: False}
+    uncapped = {
+        r["vec_id"]: r["is_kept"]
+        for r in DD.semdedup(emb, cents, tau=0.9, max_cluster=None).collect()
+    }
+    assert uncapped == {1: True, 2: False, 3: False, 10: True, 11: False}
+
+
+def test_semdedup_oversized_clusters_audit(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]),
+        (10, [0.0, 1.0]), (11, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cluster int, centroid array<double>"
+    )
+    audit = DD.semdedup_oversized_clusters(emb, cents, max_cluster=2).collect()
+    assert [(r["cluster"], r["cluster_size"]) for r in audit] == [(0, 3)]
+    # default cap is far above any test cluster: audit empty, q91 unchanged
+    assert DD.semdedup_oversized_clusters(emb, cents).count() == 0
+
+
 def test_url_quality_signals_families(spark):
     from arxiv_crawler_spark.functions.urls import url_quality_signals
 
