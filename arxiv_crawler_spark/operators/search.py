@@ -181,15 +181,21 @@ def lm_perplexity(
     = −avg log2 P over the document's bigrams (docs with none are
     dropped).
 
-    Scale shape: the model IS three aggregates of the reference's bigram
-    stream (bigram counts, continuation counts, one scalar V). Scoring
-    joins the corpus bigram stream against them — co-keyed shuffle joins
-    on (w1,w2) then (w1), never a driver-side model object — and reduces
-    per doc with one keyed aggregate. Everything stays JVM expressions;
-    with an external ``reference`` the model tables are typically small
-    enough that AQE broadcasts them into the scoring scan.
+    Scale shape: the corpus is tokenized ONCE — the bigram stream reduces
+    immediately to a doc-keyed count table ``(id, w1, w2, c)`` (map-side
+    partial agg), and everything else derives from it: the model's bigram
+    counts are a rollup of that table, continuation counts and the scalar
+    V roll up from the bigram counts, and scoring joins the SAME table
+    against the model — co-keyed shuffle joins on (w1,w2) then (w1),
+    never a driver-side model object — reducing per doc with one
+    ``c``-weighted keyed aggregate. The shared subtree ends at the
+    doc-keyed aggregate's exchange, so AQE's stage reuse (ReusedExchange)
+    runs the tokenize+explode pass once per action with no persist (the
+    round-5 self-mode shape paid a second full corpus read for the model
+    pass — at 100 TB that is a second 100-TB scan). With an external
+    ``reference`` the model tables are typically small enough that AQE
+    broadcasts them into the scoring scan.
     """
-    ref = reference if reference is not None else df
 
     def bigram_stream(frame: DataFrame, keep_id: bool) -> DataFrame:
         toks = tokens(F.col(text_col))
@@ -210,26 +216,58 @@ def lm_perplexity(
             F.col("_p.w2").alias("w2"),
         )
 
-    rb = bigram_stream(ref, keep_id=False)
-    bc = rb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
-    # continuation counts and the vocabulary are rollups of bc — deriving
-    # them there costs two aggregates of the (already small) count table
-    # instead of two more corpus-wide tokenize+explode passes
+    # ONE tokenize+explode pass over the scored corpus: the stream is
+    # exchanged ONCE, keyed (w1, w2), and everything derives above that
+    # exchange — the doc-keyed count table (hash(w1,w2) co-locates every
+    # (id,w1,w2) group, so no second exchange), the model's bigram counts,
+    # and the scoring join (both sides already (w1,w2)-partitioned). AQE's
+    # runtime stage reuse (ReusedExchange) runs the tokenize once per
+    # action with no persist. The isNotNull filter is a no-op (split()
+    # elements are never null) that keeps every branch's inferred
+    # constraints identical — otherwise the left joins push isnotnull
+    # filters into the model branches only, the subtrees stop
+    # canonicalizing equal, and the exchange is not reused.
+    pairs = (
+        bigram_stream(df, keep_id=True)
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        .repartition("w1", "w2")
+    )
+    db = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    if reference is None:
+        # self-mode: the model's bigram counts are a rollup of the SAME
+        # db node the scoring side reads (not a second aggregate of
+        # ``pairs`` — column pruning would drop id below the exchange on
+        # that branch and break the canonical match) — the corpus is
+        # never tokenized or shuffled a second time
+        bc = db.groupBy("w1", "w2").agg(F.sum("_c").alias("_cb"))
+    else:
+        bc = (
+            bigram_stream(reference, keep_id=False)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("_cb"))
+        )
+    # continuation counts and the vocabulary are rollups of bc — two
+    # aggregates of the (already small) count table. The _cb >= 1 filter
+    # is always true (counts are positive); it pins the vocabulary
+    # aggregate to bc's subtree — without it the optimizer collapses
+    # count_distinct(w2) straight onto the raw stream, paying the second
+    # corpus pass this shape exists to avoid.
     uc = bc.groupBy("w1").agg(F.sum("_cb").alias("_cu"))
-    v = bc.agg(F.count_distinct(F.col("w2")).alias("_v"))
+    v = bc.filter(F.col("_cb") >= 1).agg(F.count_distinct(F.col("w2")).alias("_v"))
 
     p = (
         (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(alpha))
         / (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(alpha) * F.col("_v"))
     )
     return (
-        bigram_stream(df, keep_id=True)
-        .join(bc, ["w1", "w2"], "left")
+        db.join(bc, ["w1", "w2"], "left")
         .join(uc, ["w1"], "left")
         .crossJoin(v)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(-F.log2(p)), 6).alias("bits_per_bigram"),
+            F.sum("_c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_c") * (-F.log2(p))) / F.sum("_c"), 6
+            ).alias("bits_per_bigram"),
         )
     )

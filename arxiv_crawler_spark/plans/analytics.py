@@ -3150,17 +3150,19 @@ with toks_t as (select doc_id, {_SQL_TOKS} as toks from documents),
 pg as (select doc_id, unnest(generate_series(1, len(toks) - 1)) as i, toks
        from toks_t where len(toks) >= 2),
 bg as (select doc_id, toks[i] as w1, toks[i+1] as w2 from pg),
-bc as (select w1, w2, count(*) as cb from bg group by 1, 2),
-uc as (select w1, count(*) as cu from bg group by 1),
-v as (select count(distinct w2) as v from bg),
-s as (select g.doc_id,
+db as (select doc_id, w1, w2, count(*) as c from bg group by 1, 2, 3),
+bc as (select w1, w2, sum(c)::BIGINT as cb from db group by 1, 2),
+uc as (select w1, sum(cb)::BIGINT as cu from bc group by 1),
+v as (select count(distinct w2) as v from bc),
+s as (select g.doc_id, g.c,
              -log2((coalesce(bc.cb, 0) + 1.0)
                    / (coalesce(uc.cu, 0) + 1.0 * v.v)) as t
-      from bg g
+      from db g
       left join bc using (w1, w2)
       left join uc using (w1)
       cross join v)
-select doc_id, count(*) as n_bigrams, round(avg(t), 6) as bits_per_bigram
+select doc_id, sum(c)::BIGINT as n_bigrams,
+       round(sum(c * t) / sum(c), 6) as bits_per_bigram
 from s group by doc_id
 """
 

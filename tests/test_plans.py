@@ -148,6 +148,22 @@ def test_valid_id_semi_join_no_forced_corpus_broadcast(spark, sf_dir, name):
     assert "LeftSemi" in p  # the membership join is still there, shuffled
 
 
+def test_lm_perplexity_self_mode_tokenizes_once(spark, sf_dir):
+    """Self-mode must NOT pay a second full corpus read for the model
+    pass: the model's bigram counts roll up from the doc-keyed count
+    table, whose exchange AQE reuses at runtime. The executed plan must
+    show the stage reuse and exactly one tokenize+explode of the corpus
+    (round 5 had two — a second 100-TB scan at scale)."""
+    from arxiv_crawler_spark.operators.search import lm_perplexity
+
+    df = lm_perplexity(load(spark, sf_dir, "documents"))
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 3, final  # model bc/uc/v branches
+    assert final.count("Generate explode") == 1, final
+
+
 def test_temperature_sample_broadcasts_rates_not_corpus(spark, sf_dir):
     """The corpus side must reach the rates join without shuffling: with
     auto-broadcast off, the only BroadcastExchange allowed is the forced
