@@ -932,9 +932,14 @@ class CrawlEngine:
         new = docs.filter(F.col("round") >= since_round)
         idx = lsh_index_build(old, id_col="url", text_col="extracted_text")
         # band the increment ONCE (Θ(|increment|) shingle+minhash work) and
-        # share it across the probe and the internal-pairs branches — the
-        # union does not reuse the subplan on its own
-        nb = lsh_index_build(new, id_col="url", text_col="extracted_text").persist()
+        # share it across the probe and the internal-pairs branches: the
+        # union does not reuse a bare subplan, but a band_hash repartition
+        # — the partitioning both joins need anyway — gives the branches a
+        # common exchange AQE's stage reuse dedupes at runtime, with no
+        # persist leaking cache across actions (round-6 fix)
+        nb = lsh_index_build(new, id_col="url", text_col="extracted_text").repartition(
+            "band_hash"
+        )
         return lsh_index_probe(idx, delta_banded=nb).unionByName(
             lsh_candidate_pairs(new, banded=nb)
         )

@@ -174,15 +174,20 @@ def dsir_select(
             F.pmod(md5_hash64(F.col("_g")), F.lit(n_buckets))
             .cast("int")
             .alias("_bucket"),
-        )
+        ).filter(F.col("_bucket").isNotNull())
+        # ^ always true (_g comes out of explode): keeps the joined and
+        # standalone branches' constraints identical so AQE reuses the
+        # count-table exchanges instead of re-tokenizing per branch
 
     # raw pool: one pass → (id, bucket, cnt); bucket marginals roll up
-    # from it instead of paying a second corpus scan
+    # from it instead of paying a second corpus scan. No persist: the
+    # marginal and scoring branches share this aggregate's exchange, so
+    # AQE's runtime stage reuse computes it once per action without
+    # holding executor memory across actions (round-6 leak fix).
     db = (
         gram_buckets(df, keep_id=True)
         .groupBy(id_col, "_bucket")
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .persist()
     )
     raw_counts = db.groupBy("_bucket").agg(F.sum("_cnt").alias("_cr"))
     tgt_counts = (
@@ -190,8 +195,14 @@ def dsir_select(
         .groupBy("_bucket")
         .agg(F.count(F.lit(1)).alias("_ct"))
     )
-    raw_total = raw_counts.agg(F.sum("_cr").alias("_nr"))
-    tgt_total = tgt_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
+    # the >= 1 filters are always true (counts are positive); they pin
+    # the total rollups onto the marginal tables' subtrees — without them
+    # the optimizer collapses sum-of-sum straight onto the raw streams,
+    # paying a second tokenize pass per total (round-6 AQE-reuse fix)
+    raw_total = raw_counts.filter(F.col("_cr") >= 1).agg(F.sum("_cr").alias("_nr"))
+    tgt_total = tgt_counts.filter(F.col("_ct") >= 1).agg(
+        F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt")
+    )
 
     # per-bucket smoothed log-likelihood ratio, fixed-pointed once; only
     # buckets the raw pool touches can contribute to a raw doc's weight
@@ -276,8 +287,12 @@ def select_token_budget(
     binned = base.withColumn(
         "_bin",
         F.least(F.lit(nbins - 1), F.floor(F.col("score") * nbins)).cast("int"),
-    ).persist()  # the histogram collect, the full-bin filter, and the
-    # cutoff-bin window all reuse one scored scan
+    )
+    # No persist: the histogram pass and the selection pass each rescan
+    # the scored corpus — two cheap scan-fused passes. Caching a
+    # corpus-sized intermediate is not the 100-TB shape (it cannot fit;
+    # MEMORY_AND_DISK would spill the whole corpus to executor disk), and
+    # it leaked across actions in long-lived sessions (round-6 fix).
     hist = {
         int(r["_bin"]): int(r["_t"])
         for r in binned.groupBy("_bin").agg(F.sum("n_tokens").alias("_t")).collect()
@@ -379,6 +394,9 @@ def source_kl(
     |sources|×B' ≤ |sources|·B rows of pure arithmetic. Nothing
     corpus-sized ever shuffles.
     """
+    # no persist: every branch (corpus marginals, per-key totals, the
+    # grid join) shares sb's aggregate exchange — AQE stage reuse runs
+    # the tokenize once per action without leaking cache (round-6 fix)
     sb = (
         df.select(
             F.col(key_col).alias("key"),
@@ -388,9 +406,12 @@ def source_kl(
             "key",
             F.pmod(md5_hash64(F.col("_t")), F.lit(n_buckets)).cast("int").alias("b"),
         )
+        # always true (_t comes out of explode, so the hash never nulls):
+        # keeps the grid branch's inferred join constraint identical to
+        # the marginal branches so AQE can reuse sb's exchange
+        .filter(F.col("b").isNotNull())
         .groupBy("key", "b")
         .agg(F.count(F.lit(1)).alias("c_sb"))
-        .persist()
     )
     corpus_b = sb.groupBy("b").agg(F.sum("c_sb").alias("c_b"))
     totals = sb.groupBy("key").agg(F.sum("c_sb").alias("n_s"))
@@ -399,9 +420,21 @@ def source_kl(
     )
 
     bf = float(n_buckets)
+    # the cell join is null-safe on key: a NULL source key still matches
+    # its own cells (and, unlike a plain equi-join, Catalyst infers no
+    # isnotnull(key) filter into sb's branch that would stop the exchange
+    # canonicalizing equal to the marginal branches)
+    cells = sb.select(
+        F.col("key").alias("_ck"), F.col("b").alias("_cbk"), "c_sb"
+    )
     grid = (
         totals.crossJoin(corpus_b)
-        .join(sb, ["key", "b"], "left")
+        .join(
+            cells,
+            F.col("key").eqNullSafe(F.col("_ck")) & (F.col("b") == F.col("_cbk")),
+            "left",
+        )
+        .drop("_ck", "_cbk")
         .crossJoin(F.broadcast(corpus_tot))
     )
     p = (F.coalesce(F.col("c_sb"), F.lit(0)) + 1).cast("double") / (

@@ -2712,9 +2712,12 @@ def q84_incremental_lsh(spark, sf):
     corpus = d.filter(F.col("doc_id") < 150)
     delta = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
     idx = DD.lsh_index_build(corpus)
-    # band the delta once and share it across both branches (the union
-    # does not reuse the subplan on its own)
-    nb = DD.lsh_index_build(delta).persist()
+    # band the delta once and share it across both branches: a band_hash
+    # repartition — the partitioning both joins need anyway — gives the
+    # branches a common exchange AQE's stage reuse dedupes at runtime
+    # (a bare subplan is not reused across the union, and persist would
+    # leak cache across actions)
+    nb = DD.lsh_index_build(delta).repartition("band_hash")
     cross = DD.lsh_index_probe(idx, max_bucket=None, delta_banded=nb)
     within = DD.lsh_candidate_pairs(delta, max_bucket=None, banded=nb)
     # disjoint by construction (cross pairs straddle the 150 boundary,
@@ -3667,7 +3670,7 @@ kl_ct as (select (select sum(c_b) from kl_cb)::BIGINT as n,
 kl_grid as (
   select t.source, t.n_s, kl_cb.b, kl_cb.c_b, coalesce(s.c_sb, 0) as c_sb
   from kl_tot t cross join kl_cb
-  left join kl_sb s on s.source = t.source and s.b = kl_cb.b),
+  left join kl_sb s on s.source is not distinct from t.source and s.b = kl_cb.b),
 kl_pres as (
   select source, n_s,
          sum(round(((c_sb + 1) / (n_s + 1024.0))

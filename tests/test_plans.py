@@ -164,6 +164,43 @@ def test_lm_perplexity_self_mode_tokenizes_once(spark, sf_dir):
     assert final.count("Generate explode") == 1, final
 
 
+def test_dsir_and_source_kl_tokenize_once_per_input_without_persist(spark, sf_dir):
+    """Round-6 leak fix: dsir_select and source_kl no longer persist()
+    their count tables — every branch anchors on the same aggregate
+    exchange and AQE stage reuse dedupes it at runtime. Pin the executed
+    plans: dsir tokenizes exactly twice (raw pool once + target once),
+    source_kl exactly once; both show the runtime reuse."""
+    from arxiv_crawler_spark.operators.sampling import dsir_select, source_kl
+
+    docs = load(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 7 == 0)
+    d = dsir_select(docs, tgt, k=20)
+    d.collect()
+    final = d._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 2, final  # pool + target
+    assert "ReusedExchange" in final
+    assert "InMemoryTableScan" not in final  # no persist anywhere
+
+    s = source_kl(docs, key_col="source", text_col="text", n_buckets=64)
+    s.collect()
+    final = s._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 1, final
+    assert "ReusedExchange" in final
+    assert "InMemoryTableScan" not in final
+
+
+def test_incremental_lsh_bands_delta_once_without_persist(spark, sf_dir):
+    """The q84 composition (index probe ∪ delta-internal pairs) must band
+    the delta ONCE: the band_hash repartition — the partitioning both
+    joins need anyway — is the common exchange AQE reuses; no cache."""
+    p = SPARK_QUERIES["q84_incremental_lsh"](spark, sf_dir)
+    p.collect()
+    final = p._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # one banding Generate for the corpus index + one for the delta
+    assert final.count("Generate explode") == 2, final
+    assert "InMemoryTableScan" not in final
+
+
 def test_temperature_sample_broadcasts_rates_not_corpus(spark, sf_dir):
     """The corpus side must reach the rates join without shuffling: with
     auto-broadcast off, the only BroadcastExchange allowed is the forced
