@@ -312,9 +312,12 @@ class IcebergSnapshotStore:
             )
             table_live = (not lazy_create) or name in snap_ids
             if table_live:
+                # tag is caller-supplied public API: escape embedded quotes
+                # so a tag like "r'1" can't break (or inject into) the SQL
+                tag_sql = str(tag).replace("'", "''")
                 self.spark.sql(
                     f"DELETE FROM {self._tbl(name)} "
-                    f"WHERE _round = {int(round_no)} AND _tag = '{tag}'"
+                    f"WHERE _round = {int(round_no)} AND _tag = '{tag_sql}'"
                 )
                 df.writeTo(self._tbl(name)).append()
             else:

@@ -157,7 +157,24 @@ def connected_components(
     with scalar aggregates only (count + order-insensitive xxhash64 sum) —
     no row data ever reaches the driver; ``localCheckpoint`` per round
     bounds lineage exactly like ``pagerank``.
+
+    Node ids must be NUMERIC (the min-label ordering and the internal
+    long cast require it). String-keyed pair tables (e.g. the url-keyed
+    output of ``scheduler.near_dup_report``) must be pre-hashed — pmod-
+    free ``functions.hashing.md5_hash64``/``F.xxhash64`` with a kept
+    (id → url) mapping is the standard bridge; a silent cast would turn
+    every string id into NULL and return an empty result, so non-numeric
+    id columns raise instead.
     """
+    numeric = ("tinyint", "smallint", "int", "bigint", "long", "short", "byte")
+    for c in (src_col, dst_col):
+        dt = dict(edges.dtypes)[c]
+        if dt not in numeric:
+            raise TypeError(
+                f"connected_components needs numeric node ids; column {c!r} is "
+                f"{dt}. Hash string ids to long first (functions.hashing."
+                "md5_hash64 / F.xxhash64) and keep a mapping to join back."
+            )
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")

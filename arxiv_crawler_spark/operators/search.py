@@ -106,7 +106,9 @@ def repetition_signals(
       of occurrences × gram char length / len(text).
     * dup_line_frac — 1 - distinct/total over split(text, '\\n').
 
-    Docs too short for an n-gram score 0.0 on that signal.
+    Docs too short for an n-gram score 0.0 on that signal — including
+    EMPTY text: the char-frac denominators are ``greatest(len, 1)``, so
+    a zero-length document scores 0.0 rather than NULL.
     """
 
     base = df.select(
@@ -149,10 +151,14 @@ def repetition_signals(
         .select(
             F.col(id_col),
             F.round(
-                F.coalesce(F.col("_top_chars"), F.lit(0)) / F.col("_len"), 6
+                F.coalesce(F.col("_top_chars"), F.lit(0))
+                / F.greatest(F.col("_len"), F.lit(1)),
+                6,
             ).alias("top_ngram_char_frac"),
             F.round(
-                F.coalesce(F.col("_dup_chars"), F.lit(0)) / F.col("_len"), 6
+                F.coalesce(F.col("_dup_chars"), F.lit(0))
+                / F.greatest(F.col("_len"), F.lit(1)),
+                6,
             ).alias("dup_ngram_char_frac"),
             F.round(
                 F.lit(1.0)

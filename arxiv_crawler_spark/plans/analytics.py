@@ -2299,8 +2299,8 @@ cd as (select doc_id, g2 as g, count(*) as cnt
 dup as (select doc_id, sum(cnt * length(g)) as dup_chars
         from cd where cnt >= 2 group by 1)
 select t.doc_id,
-       round(coalesce(top_chars, 0) / _len, 6) as top_ngram_char_frac,
-       round(coalesce(dup_chars, 0) / _len, 6) as dup_ngram_char_frac,
+       round(coalesce(top_chars, 0) / greatest(_len, 1), 6) as top_ngram_char_frac,
+       round(coalesce(dup_chars, 0) / greatest(_len, 1), 6) as dup_ngram_char_frac,
        round(1.0 - len(list_distinct(lines)) / len(lines)::DOUBLE, 6) as dup_line_frac
 from toks_t t
 left join top using (doc_id)
@@ -2392,9 +2392,13 @@ def q78_streaming_dedup(spark, sf):
     """Streaming exact dedup (streaming/stateful.py) driven to completion
     with availableNow over the documents table: the final per-hash state
     (keeper = min doc_id, dup count) is deterministic and equals the batch
-    groupBy, so the oracle is exactly q23's SQL. The single-file source
-    yields one micro-batch here; multi-batch state continuity is covered
-    by tests/test_streaming.py."""
+    groupBy, so the oracle is exactly q23's SQL. The update-mode memory
+    sink appends one row per (hash, micro-batch that touched it), so the
+    result collapses to the FINAL state per hash — keeper_id only ever
+    decreases and dup_count only ever grows, so min/max recover the last
+    emission exactly, whatever the source's batching (a multi-file
+    documents table no longer breaks the oracle equality). Multi-batch
+    state continuity is separately covered by tests/test_streaming.py."""
     import tempfile
     import uuid
 
@@ -2411,7 +2415,10 @@ def q78_streaming_dedup(spark, sf):
         .start()
     )
     q.awaitTermination(120)
-    return spark.sql(f"select content_hash, keeper_id, dup_count from {qname}")
+    return spark.sql(
+        f"select content_hash, min(keeper_id) as keeper_id, "
+        f"max(dup_count) as dup_count from {qname} group by content_hash"
+    )
 
 
 def q79_pipeline_v2(spark, sf):

@@ -1003,6 +1003,20 @@ def test_repetition_signals_designed_docs(spark):
     assert out[3]["dup_ngram_char_frac"] == 0.0 and out[3]["top_ngram_char_frac"] > 0.0
 
 
+def test_repetition_signals_empty_text_scores_zero(spark):
+    """The docstring contract on the degenerate edge: an empty document
+    scores 0.0 on every char-frac signal (greatest(len,1) denominator),
+    never NULL."""
+    from arxiv_crawler_spark.operators.search import repetition_signals
+
+    corpus = spark.createDataFrame([(1, ""), (2, "a b a b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_signals(corpus).collect()}
+    assert out[1]["top_ngram_char_frac"] == 0.0
+    assert out[1]["dup_ngram_char_frac"] == 0.0
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[2]["top_ngram_char_frac"] > 0.0
+
+
 def test_temperature_sample_rebalances_mix(spark):
     """T=2 halves the log-imbalance: the head key is subsampled at
     sqrt(n_min/n_head), the rarest key keeps everything (rate 1.0)."""
