@@ -1585,21 +1585,46 @@ def x69_knn_ivfpq(spark, sf):
 def x53_media_features(spark, sf):
     """Multimodal plumbing: synthetic media → Arrow feature extraction.
 
-    The raw ``features: array<float>`` column is projected to stable
-    scalars (md5 of the rounded-json vector, dim, first element) — the
-    driver's canonicalizer sorts columns and cannot hash raw arrays."""
+    The raw ``features: array<float>`` column is projected to a stable
+    string signature (``%.5f``-formatted, comma-joined — Java and Python
+    format doubles identically at fixed precision, unlike to_json) — the
+    driver's canonicalizer sorts columns and cannot hash raw arrays.
+    Oracle: the same deterministic fake decoder run driver-side over the
+    same synthetic payloads, emitted as a VALUES literal — checks the
+    whole mapInPandas plumbing (schema, batching, float32 round-trip)."""
     from arxiv_crawler_spark.operators.multimodal import extract_features, synth_media
 
     feats = extract_features(synth_media(spark, n=48), dim=8)
     return feats.select(
         "media_id",
         "media_type",
-        "n_bytes",
-        F.md5(
-            F.to_json(F.transform("features", lambda x: F.round(x.cast("double"), 5)))
-        ).alias("feat_hash"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
         F.size("features").cast("long").alias("feat_dim"),
-        F.round(F.element_at("features", 1).cast("double"), 5).alias("feat0"),
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.format_string("%.5f", x.cast("double"))),
+        ).alias("feat_sig"),
+    )
+
+
+def _sql_x53() -> str:
+    import hashlib as _hl
+
+    from arxiv_crawler_spark.operators.multimodal import _fake_decode
+
+    vals = []
+    for i in range(48):
+        mt = ("image", "audio", "video")[i % 3]
+        payload = _hl.sha256(f"42:{i}".encode()).digest() * (4 + i % 7)
+        feats = _fake_decode(payload, 8)
+        sig = ",".join(f"{float(v):.5f}" for v in feats)
+        vals.append(
+            f"({i}::BIGINT, '{mt}', {len(payload)}::BIGINT, 8::BIGINT, '{sig}')"
+        )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(vals)
+        + ")\n AS t(media_id, media_type, n_bytes, feat_dim, feat_sig)"
     )
 
 
@@ -1728,7 +1753,11 @@ def _sql_x58() -> str:
 
 def x59_render_tei(spark, sf):
     """TEI → HTML rendering (U2/F11, tei_parser.py:54-409): Arrow-batched
-    column-to-HTML projection; content assertions live in tests/test_render."""
+    column-to-HTML projection; content assertions live in tests/test_render.
+    Oracle (x51's pattern): the render kernel applied row-at-a-time
+    driver-side to the same fixture world, md5'd in Python, emitted as a
+    VALUES literal — any divergence in the Arrow/mapInPandas plumbing
+    (batching, column order, null handling) hash-mismatches."""
     from arxiv_crawler_spark.extraction.render import render_pages
     from arxiv_crawler_spark.fixtures import gen_world, spark_pages
 
@@ -1739,6 +1768,29 @@ def x59_render_tei(spark, sf):
         F.length("body_html").cast("long").alias("body_len"),
         F.md5("body_html").alias("body_md5"),
         F.md5("references_html").alias("refs_md5"),
+    )
+
+
+def _sql_x59() -> str:
+    import hashlib as _hl
+
+    from arxiv_crawler_spark.extraction.render import render_tei
+    from arxiv_crawler_spark.fixtures import gen_world
+
+    pdf = gen_world(n_docs=20, seed=42)
+    vals = []
+    for _, row in pdf.iterrows():
+        r = render_tei(bytes(row["html"]))
+        body, refs = r["body_html"], r["references_html"]
+        vals.append(
+            f"({_sql_lit(row['url'])}, CAST({len(body)} AS BIGINT), "
+            f"'{_hl.md5(body.encode('utf-8')).hexdigest()}', "
+            f"'{_hl.md5(refs.encode('utf-8')).hexdigest()}')"
+        )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(vals)
+        + ")\n AS t(url, body_len, body_md5, refs_md5)"
     )
 
 
@@ -4199,6 +4251,8 @@ ORACLE_SQL = {
     "x60_simhash64_near_pairs": _sql_x60(),
     "x55_embedding_near_pairs_lsh": _sql_x55(),
     "x57_host_skew_wave": _SQL_X57,
+    "x53_media_features": _sql_x53(),
+    "x59_render_tei": _sql_x59(),
     "q47_cited_by_contexts": _SQL_Q47,
     "q48_curation_pipeline": _SQL_Q48,
     "q49_pagerank": _sql_q49(),
