@@ -3037,44 +3037,48 @@ def x71_semdedup_kmeans(spark, sf):
     return DD.semdedup(emb, cents, tau=0.30).select("vec_id", "cluster", "is_kept")
 
 
-def x72_streaming_hll(spark, sf):
-    """Live distinct-URL cardinality over a running crawl: q96's HLL as a
-    STREAMING aggregation — operators/sketches.py::hll_registers is just
-    groupBy(reg).max(rho), so the identical operator runs over the store
-    tail (streaming/tail.py) with 256 rows of streaming state, giving a
-    continuously-maintained unique-URL estimate while the crawl commits
-    rounds. Output: one row (m, nonzero_regs, sumw, est_micro,
-    exact_cnt) — estimate from the stream's final registers, exact
-    witness from the batch store reader. Rows-only (live-store
-    composition, like x67); stream↔batch register parity is asserted in
-    tests/test_streaming.py."""
+def q104_streaming_hll(spark, sf):
+    """q96's HyperLogLog as a STREAMING aggregation, driven to completion
+    inside the oracle gate (q78's pattern): readStream over the documents
+    parquet → tokenize/explode → hll_registers (groupBy(reg).max(rho) —
+    256 rows of streaming state, complete mode) → estimate from the final
+    register table. The stream computes exactly the batch registers, so
+    q96's full relational SQL is the oracle and a cardinality-sketch
+    STREAM is value-hash-checked end-to-end. The live-crawl variant of
+    the same composition (registers over the store tail while rounds
+    commit) is parity-asserted in tests/test_streaming.py; exact_cnt
+    rides along from the batch reader as the accuracy witness."""
     import tempfile
+    import uuid
 
-    from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
-    from arxiv_crawler_spark.fixtures import gen_seeds, gen_world, spark_pages
     from arxiv_crawler_spark.operators.sketches import hll_estimate, hll_registers
-    from arxiv_crawler_spark.streaming.tail import stream_fetched
 
-    pages = spark_pages(spark, gen_world(n_docs=24, seed=42))
-    store = tempfile.mkdtemp(prefix="xq_hll_tail_")
-    eng = CrawlEngine(
-        spark, store, pages,
-        CrawlConfig(mode="replay", max_papers=6, n_buckets=8, use_bloom=True),
-    )
-    eng.bootstrap(gen_seeds(24, n_seeds=3))
-    eng.run()
+    import os as _os
+
+    docs_path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    src = docs_path
+    if _os.path.isfile(src):  # file source needs a directory: symlink-stage
+        staged = tempfile.mkdtemp(prefix="q104_src_")
+        _os.symlink(_os.path.abspath(src), _os.path.join(staged, "part-0.parquet"))
+        src = staged
+    stream = spark.readStream.schema(schema).parquet(src)
+    toks = stream.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    qname = f"q104_hll_regs_{uuid.uuid4().hex[:8]}"
     q = (
-        hll_registers(stream_fetched(spark, store).select("url"), "url", p=8)
-        .writeStream.format("memory").queryName("x72_hll_regs")
+        hll_registers(toks, "token", p=8)
+        .writeStream.format("memory").queryName(qname)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="xq_hll_ck_"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q104_hll_ck_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    est = hll_estimate(spark.sql("select reg, mj from x72_hll_regs"), p=8)
-    exact = eng.store.fetched().agg(
-        F.countDistinct("url").cast("long").alias("exact_cnt")
+    est = hll_estimate(spark.sql(f"select reg, mj from {qname}"), p=8)
+    exact = (
+        load(spark, sf, "documents")
+        .select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .agg(F.countDistinct("token").cast("long").alias("exact_cnt"))
     )
     return est.crossJoin(exact)
 
@@ -4153,7 +4157,7 @@ SPARK_QUERIES = {
     "x68_knn_pq": x68_knn_pq,
     "x69_knn_ivfpq": x69_knn_ivfpq,
     "x71_semdedup_kmeans": x71_semdedup_kmeans,
-    "x72_streaming_hll": x72_streaming_hll,
+    "q104_streaming_hll": q104_streaming_hll,
 }
 
 ORACLE_SQL = {
@@ -4253,6 +4257,9 @@ ORACLE_SQL = {
     "x57_host_skew_wave": _SQL_X57,
     "x53_media_features": _sql_x53(),
     "x59_render_tei": _sql_x59(),
+    # the streaming HLL computes exactly the batch registers, so q96's
+    # relational replay is its oracle verbatim
+    "q104_streaming_hll": _sql_q96(),
     "q47_cited_by_contexts": _SQL_Q47,
     "q48_curation_pipeline": _SQL_Q48,
     "q49_pagerank": _sql_q49(),
