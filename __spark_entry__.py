@@ -5,11 +5,14 @@ deterministic synthetic TEI world (frontier → wave → fetch-join → Arrow
 extraction → anti-join dedupe → frontier merge → snapshot), returning the
 pop-ordered crawl trace.
 
-``queries()`` (106) / ``oracle_sql()`` (96) — the operator surface of SURVEY.md §2 plus
+``queries()`` (106) / ``oracle_sql()`` (106) — the operator surface of SURVEY.md §2 plus
 the training-data-pipeline operators (dedup / similarity search / text
-analysis / multimodal), checked against DuckDB at sf=0.01. All 96
-oracle-backed entries are ordered ahead of the 10 rows-only ones so the
-driver's 50-entry CORRECTNESS window records only hash-checked rows.
+analysis / multimodal), checked against DuckDB at sf=0.01. As of round 6
+EVERY entry is oracle-backed (hash/value-checked): the former rows-only
+set now replays its deterministic semantics driver-side — pure-numpy ANN
+twins (oracle/refann.py), the reference-crawl recount for the store-tail
+stream, render/multimodal/encoder VALUES, and the streaming HLL driven
+availableNow against the relational HLL SQL.
 """
 
 from __future__ import annotations

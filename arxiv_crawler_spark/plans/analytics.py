@@ -7,9 +7,12 @@ rounding are aligned on both sides — the driver compares row counts, schema
 and order-insensitive value hashes.
 
 Operator-inventory coverage is noted per query as (SURVEY.md §2 ids).
-Queries named ``x_*`` have no SQL oracle (non-SQL-expressible: crawl loop,
-Bloom, LSH-ANN, media UDFs) and get the driver's rows-only check; their
-real verification lives in tests/.
+Queries named ``x_*`` compose non-SQL-expressible machinery (crawl loop,
+Bloom, trained ANN quantizers, media/encoder UDFs, streams) — their
+oracles replay the same deterministic semantics driver-side (pure-python
+reference crawl, numpy ANN twins in oracle/refann.py, VALUES literals),
+so every registry entry is hash/value-checked, none rows-only; deeper
+invariants (recall, byte parity, replay bit-match) live in tests/.
 """
 
 from __future__ import annotations
@@ -1552,9 +1555,16 @@ select node, round(r, 6) as pagerank from r{iterations}
 def x61_knn_ivf(spark, sf):
     """IVF similarity search (spherical-k-means coarse quantizer + cell
     probes) — the second ANN scale path next to x52's LSH; planted-neighbor
-    recall ≥ 0.9 asserted in tests/test_operators.py."""
+    recall ≥ 0.9 asserted in tests/test_operators.py. Oracle: the search
+    plan replayed in pure numpy/python (oracle/refann.py — seq-fold
+    cosines, numpy encode, same trained quantizer), emitted as VALUES per
+    gate sf and dispatched on the embeddings content signature."""
     emb = load(spark, sf, "embeddings")
-    return KNN.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=16, n_probe=6)
+    out = KNN.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=16, n_probe=6)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def x68_knn_pq(spark, sf):
@@ -1880,7 +1890,9 @@ def x62_semantic_search_ann(spark, sf):
     exact brute force to the IVF index — the 100-TB path (no all-pairs
     scoring; only n_probe/n_cells of the corpus is scored per query).
     ≥0.8 overlap with the exact labels/ranks is asserted on clustered
-    vectors in tests/test_pipelines.py."""
+    vectors in tests/test_pipelines.py. Oracle: the IVF core replayed in
+    oracle/refann.py (VALUES), wrapped in q42's relational label/metadata
+    joins."""
     from arxiv_crawler_spark.operators import knn as KNN
     from arxiv_crawler_spark.plans.embeddings_pipeline import semantic_search
 
@@ -1907,7 +1919,8 @@ def x66_encode_and_search(spark, sf):
     documented real path, operators/encoder.py) and run exact cosine top-k
     over the FRESH vectors — the build-embeddings-then-search composition of
     build_embeddings_dataset.py + search.py. Stub vectors are md5-seeded
-    numpy draws (not SQL-expressible) → rows-only check."""
+    numpy draws — not SQL-expressible, but deterministic, so the oracle
+    replays encode+search driver-side (oracle/refann.py) as VALUES."""
     from arxiv_crawler_spark.operators.encoder import encode_texts
 
     d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
@@ -1924,8 +1937,11 @@ def x67_store_tail_stream(spark, sf):
     """Structured-Streaming tail over the crawl store's append log
     (streaming/tail.py): mini crawl, then an availableNow pass over the
     edges tail maintaining running cited-by counts — parity with the batch
-    log reader is asserted in tests/test_streaming.py. Rows-only check
-    (the view is a live-store composition, like x58)."""
+    log reader is asserted in tests/test_streaming.py. Oracle: the edges
+    log is a deterministic function of the replay crawl, so the reference
+    replay (oracle/refcrawler.py via _oracle_crawl_state) recounts every
+    non-null cited id driver-side and emits VALUES — crawl + extraction +
+    store tail + streaming agg checked end-to-end."""
     import tempfile
 
     from arxiv_crawler_spark.crawl import CrawlConfig, CrawlEngine
@@ -1951,6 +1967,27 @@ def x67_store_tail_stream(spark, sf):
     q.awaitTermination(120)
     return spark.sql(
         "select cited_arxiv_id, cited_by_count from x67_tail order by cited_arxiv_id"
+    )
+
+
+def _sql_x67() -> str:
+    """Cited-by counts over the replay crawl's edges log, recomputed from
+    the pure-Python reference crawl: every bib entry of every processed
+    paper with a non-null raw arXiv id counts one edge toward that id."""
+    extr, _, processed, _, _ = _oracle_crawl_state()
+    counts: dict[str, int] = {}
+    for aid in processed:
+        for cit in extr[aid].values():
+            raw = cit["details"]["arxiv_id"]
+            if raw is not None:
+                counts[raw] = counts.get(raw, 0) + 1
+    rows = ",\n  ".join(
+        f"({_sql_lit(a)}, CAST({n} AS BIGINT))" for a, n in sorted(counts.items())
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + ")\n AS t(cited_arxiv_id, cited_by_count)"
     )
 
 
@@ -4257,6 +4294,7 @@ ORACLE_SQL = {
     "x57_host_skew_wave": _SQL_X57,
     "x53_media_features": _sql_x53(),
     "x59_render_tei": _sql_x59(),
+    "x67_store_tail_stream": _sql_x67(),
     # the streaming HLL computes exactly the batch registers, so q96's
     # relational replay is its oracle verbatim
     "q104_streaming_hll": _sql_q96(),
@@ -4264,3 +4302,30 @@ ORACLE_SQL = {
     "q48_curation_pipeline": _SQL_Q48,
     "q49_pagerank": _sql_q49(),
 }
+
+# The k-means ANN oracles replay the trained-quantizer searches in pure
+# numpy/python (oracle/refann.py) — deferred behind the rest of the
+# registry build so an import failure there is loud and local.
+from arxiv_crawler_spark.oracle import refann as _refann  # noqa: E402
+
+ORACLE_SQL.update(
+    {
+        "x61_knn_ivf": _refann.sql_ivf_topk(),
+        "x68_knn_pq": _refann.sql_pq_topk(),
+        "x69_knn_ivfpq": _refann.sql_ivfpq_topk(),
+        "x71_semdedup_kmeans": _refann.sql_semdedup_kmeans(),
+        "x66_encode_and_search": _refann.sql_encode_search(),
+        # x62 = the replayed IVF core wrapped in q42's relational
+        # label/metadata joins (nested-CTE subquery)
+        "x62_semantic_search_ann": f"""
+with ann as ({_refann.sql_semantic_ann_core()}),
+cited as (select distinct citer, cited from {_SQL_EDGES} e)
+select a.query_id, a.neighbor_id, a.cos, a.final_rank,
+       case when exists (select 1 from cited cd
+                         where cd.citer = a.query_id and cd.cited = a.neighbor_id)
+            then 'existing' else 'proposed' end as citation_type,
+       d.lang, d.n_chars
+from ann a left join documents d on d.doc_id = a.neighbor_id
+""",
+    }
+)
