@@ -2510,13 +2510,32 @@ def q78_streaming_dedup(spark, sf):
     )
 
 
+def _audit_row(spark, fields):
+    """One-row audit DataFrame from driver-side scalars (all BIGINT)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(k, T.LongType()) for k, _ in fields])
+    vals = tuple(None if v is None else int(v) for _, v in fields)
+    return spark.createDataFrame([vals], schema)
+
+
 def q79_pipeline_v2(spark, sf):
-    """The full modern curation pipeline in ONE plan — repetition gate
-    (q74) → benchmark decontamination (q72) → exact dedup (q23) →
-    temperature sampling (q76) → sequence packing (q77) — emitting a
-    one-row stage-by-stage audit: every operator family composes, and the
-    whole chain stays declarative (scalar stage counts cross-joined, the
-    q48 shape)."""
+    """The full modern curation pipeline — repetition gate (q74) →
+    benchmark decontamination (q72) → exact dedup (q23) → temperature
+    sampling (q76) → sequence packing (q77) — emitting a one-row
+    stage-by-stage audit.
+
+    Round 6: the audit used to be one lazy crossJoin of per-stage count
+    branches over the shared DAG. Column pruning makes each count
+    branch's exchanges non-identical to the flowing spine's, so Catalyst
+    cannot reuse them and the spine re-executed once per branch — the
+    10M-doc probe measured the composed run at ~5x the sum of its
+    isolated stage times (BENCH/pipeline_v3_probe_r6.json). Each stage
+    boundary is now materialized exactly once (persist here; at 100 TB
+    these boundaries are parquet/Iceberg stage tables, which is how a
+    production curation run checkpoints anyway) and every audit scalar
+    reads the materialized stage, so the chain costs one pass. Caches
+    are released before returning."""
     from arxiv_crawler_spark.operators.dedup import decontaminate, exact_dedup
     from arxiv_crawler_spark.operators.sampling import pack_sequences, temperature_sample
     from arxiv_crawler_spark.operators.search import repetition_signals
@@ -2529,32 +2548,54 @@ def q79_pipeline_v2(spark, sf):
         .filter(F.col("top_ngram_char_frac") <= 0.1)
         .select("doc_id")
     )
-    gated = train.join(rep_pass, "doc_id")
-    contaminated = decontaminate(gated, bench, n=3).select("doc_id")
-    clean = gated.join(contaminated, "doc_id", "left_anti")
-    keepers = exact_dedup(clean).select(F.col("keeper_id").alias("doc_id"))
-    deduped = clean.join(keepers, "doc_id")
-    sampled = deduped.join(
-        temperature_sample(deduped, "lang", 2.0, seed=42).select("doc_id"), "doc_id"
-    )
-    packed = pack_sequences(sampled, budget_tokens=512, n_buckets=8)
+    cached = []
 
-    def cnt(df, name):
-        return df.agg(F.count(F.lit(1)).alias(name))
+    def mat(df):
+        df = df.persist()
+        cached.append(df)
+        return df
 
-    return (
-        cnt(docs, "n_input")
-        .crossJoin(cnt(bench, "n_benchmark"))
-        .crossJoin(cnt(gated, "n_repetition_pass"))
-        .crossJoin(cnt(contaminated, "n_contaminated"))
-        .crossJoin(cnt(deduped, "n_after_dedup"))
-        .crossJoin(cnt(sampled, "n_sampled"))
-        .crossJoin(
-            packed.agg(
+    try:
+        gated = mat(train.join(rep_pass, "doc_id"))
+        n_repetition_pass = gated.count()
+        contaminated = mat(decontaminate(gated, bench, n=3).select("doc_id"))
+        n_contaminated = contaminated.count()
+        clean = mat(gated.join(contaminated, "doc_id", "left_anti"))
+        keepers = exact_dedup(clean).select(F.col("keeper_id").alias("doc_id"))
+        deduped = mat(clean.join(keepers, "doc_id"))
+        n_after_dedup = deduped.count()
+        sampled = mat(
+            deduped.join(
+                temperature_sample(deduped, "lang", 2.0, seed=42).select("doc_id"),
+                "doc_id",
+            )
+        )
+        n_sampled = sampled.count()
+        pk = (
+            pack_sequences(sampled, budget_tokens=512, n_buckets=8)
+            .agg(
                 F.sum("n_tokens").alias("n_tokens_sampled"),
                 F.count_distinct(F.col("bucket"), F.col("pack_id")).alias("n_packs"),
             )
+            .collect()[0]
         )
+        n_input = docs.count()
+        n_benchmark = bench.count()
+    finally:
+        for df in cached:
+            df.unpersist()
+    return _audit_row(
+        spark,
+        [
+            ("n_input", n_input),
+            ("n_benchmark", n_benchmark),
+            ("n_repetition_pass", n_repetition_pass),
+            ("n_contaminated", n_contaminated),
+            ("n_after_dedup", n_after_dedup),
+            ("n_sampled", n_sampled),
+            ("n_tokens_sampled", pk["n_tokens_sampled"]),
+            ("n_packs", pk["n_packs"]),
+        ],
     )
 
 
@@ -2846,10 +2887,19 @@ def q85_pipeline_v3(spark, sf):
     stages spliced in between dedup and sampling: repetition gate →
     decontamination → exact dedup → **ExactSubstr span removal (q81)** →
     **PII redaction (q82)** → temperature sampling → sequence packing,
-    still ONE declarative plan with a one-row audit. Packing now counts
-    tokens of the cut+redacted text, so the audit proves the surgery
-    stages really feed the downstream ones (n_tokens_packed shrinks by
-    exactly the removed spans)."""
+    with a one-row audit. Packing counts tokens of the cut+redacted
+    text, so the audit proves the surgery stages really feed the
+    downstream ones (n_tokens_packed shrinks by exactly the removed
+    spans).
+
+    Round 6: stage boundaries are materialized exactly once and the
+    audit scalars read the materialized stages (see q79's docstring —
+    the prior all-lazy crossJoin audit re-executed the spine once per
+    count branch; the 10M-doc probe measured it at ~5x one-pass cost,
+    BENCH/pipeline_v3_probe_r6.json). The span/PII sums ride the `red`
+    stage (n_removed and the pii counters are columns there), so the
+    ExactSubstr cut is computed once even though two audit scalars
+    derive from it."""
     from arxiv_crawler_spark.operators.dedup import (
         decontaminate,
         exact_dedup,
@@ -2866,59 +2916,79 @@ def q85_pipeline_v3(spark, sf):
         .filter(F.col("top_ngram_char_frac") <= 0.1)
         .select("doc_id")
     )
-    gated = train.join(rep_pass, "doc_id")
-    contaminated = decontaminate(gated, bench, n=3).select("doc_id")
-    clean = gated.join(contaminated, "doc_id", "left_anti")
-    keepers = exact_dedup(clean).select(F.col("keeper_id").alias("doc_id"))
-    deduped = clean.join(keepers, "doc_id")
-    cut = remove_duplicate_spans(deduped, n=8).join(
-        deduped.select("doc_id", "lang"), "doc_id"
-    )
-    red = cut.select(
-        "doc_id",
-        "lang",
-        "n_removed",
-        TX.redact_pii(F.col("text")).alias("text"),
-        *TX.pii_counts(F.col("text")),
-    )
-    sampled = red.join(
-        temperature_sample(red, "lang", 2.0, seed=42).select("doc_id"), "doc_id"
-    )
-    packed = pack_sequences(sampled, budget_tokens=512, n_buckets=8)
+    cached = []
 
-    def cnt(df, name):
-        return df.agg(F.count(F.lit(1)).alias(name))
+    def mat(df):
+        df = df.persist()
+        cached.append(df)
+        return df
 
-    return (
-        cnt(docs, "n_input")
-        .crossJoin(cnt(bench, "n_benchmark"))
-        .crossJoin(cnt(gated, "n_repetition_pass"))
-        .crossJoin(cnt(contaminated, "n_contaminated"))
-        .crossJoin(cnt(deduped, "n_after_dedup"))
-        .crossJoin(
-            cut.agg(
-                F.coalesce(F.sum("n_removed"), F.lit(0))
-                .cast("long")
-                .alias("n_span_tokens_removed")
+    try:
+        gated = mat(train.join(rep_pass, "doc_id"))
+        n_repetition_pass = gated.count()
+        contaminated = mat(decontaminate(gated, bench, n=3).select("doc_id"))
+        n_contaminated = contaminated.count()
+        clean = mat(gated.join(contaminated, "doc_id", "left_anti"))
+        keepers = exact_dedup(clean).select(F.col("keeper_id").alias("doc_id"))
+        deduped = mat(clean.join(keepers, "doc_id"))
+        n_after_dedup = deduped.count()
+        cut = remove_duplicate_spans(deduped, n=8).join(
+            deduped.select("doc_id", "lang"), "doc_id"
+        )
+        red = mat(
+            cut.select(
+                "doc_id",
+                "lang",
+                "n_removed",
+                TX.redact_pii(F.col("text")).alias("text"),
+                *TX.pii_counts(F.col("text")),
             )
         )
-        .crossJoin(
-            red.agg(
-                F.coalesce(
-                    F.sum(F.col("n_email") + F.col("n_ip") + F.col("n_phone")),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("n_pii_redacted")
+        surgery = red.agg(
+            F.coalesce(F.sum("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_span_tokens_removed"),
+            F.coalesce(
+                F.sum(F.col("n_email") + F.col("n_ip") + F.col("n_phone")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_pii_redacted"),
+        ).collect()[0]
+        sampled = mat(
+            red.join(
+                temperature_sample(red, "lang", 2.0, seed=42).select("doc_id"),
+                "doc_id",
             )
         )
-        .crossJoin(cnt(sampled, "n_sampled"))
-        .crossJoin(
-            packed.agg(
+        n_sampled = sampled.count()
+        pk = (
+            pack_sequences(sampled, budget_tokens=512, n_buckets=8)
+            .agg(
                 F.sum("n_tokens").alias("n_tokens_packed"),
                 F.count_distinct(F.col("bucket"), F.col("pack_id")).alias("n_packs"),
             )
+            .collect()[0]
         )
+        n_input = docs.count()
+        n_benchmark = bench.count()
+    finally:
+        for df in cached:
+            df.unpersist()
+    return _audit_row(
+        spark,
+        [
+            ("n_input", n_input),
+            ("n_benchmark", n_benchmark),
+            ("n_repetition_pass", n_repetition_pass),
+            ("n_contaminated", n_contaminated),
+            ("n_after_dedup", n_after_dedup),
+            ("n_span_tokens_removed", surgery["n_span_tokens_removed"]),
+            ("n_pii_redacted", surgery["n_pii_redacted"]),
+            ("n_sampled", n_sampled),
+            ("n_tokens_packed", pk["n_tokens_packed"]),
+            ("n_packs", pk["n_packs"]),
+        ],
     )
 
 

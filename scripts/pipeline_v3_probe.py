@@ -103,9 +103,16 @@ def run_one(spark, n_docs: int, doc_len: int) -> dict:
     def step(name, df, agg=None):
         t0 = time.time()
         df = df.persist()
-        cached.append(df)
         n = df.count()
         stages[name] = {"rows": n, "sec": round(time.time() - t0, 2)}
+        # Each stage consumes only its predecessor (docs is kept for the
+        # bench/train branches and the final parquet write). Releasing the
+        # grandparent keeps the cache footprint at ~2 stages instead of 8 —
+        # holding all of them caused eviction/GC pressure that inflated the
+        # big-leg stage ratios ~1.5x in the first probe run.
+        if len(cached) >= 2:
+            cached.pop(1).unpersist()
+        cached.append(df)
         return df
 
     docs = step("synth", synth_corpus(spark, n_docs, doc_len))
