@@ -239,14 +239,19 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 # tracks the HOST (CPU contention, cache pressure, turbo state), never the
 # engine. CALIB_REFERENCE_SEC anchors the triple to the round-4 driver
 # window at sf0.1 (0.334 + 1.529 + 0.804 s — the window all cross-round
-# crawl comparisons implicitly reference). host_factor = calib/reference
+# crawl comparisons implicitly reference). Those anchor numbers are the
+# triple's HEADLINE-SWEEP timings, so the factor must be computed from
+# this run's sweep timings too: a warm re-run of the triple is 25-50%
+# faster than its sweep position (first use after the crawl phase) and
+# would deflate the factor on any box. host_factor = sweep/reference
 # (>1 ⇒ this box is running slower than that window), and the normalized
 # headline is raw urls/s × host_factor — "what this binary would have
 # measured in the reference window". Rounds 4→5 spent a judge session
 # adjudicating a 15% headline drop that was pure host weather; this makes
-# the correction part of the artifact.
+# the correction part of the artifact. Warm 3x-median re-runs are still
+# emitted (calibration.warm_queries) as a stability diagnostic.
 CALIB_QUERIES = ("q01_pricing_summary", "q24_minhash_lsh", "q27_knn_cosine")
-CALIB_REFERENCE_SEC = 2.667  # sum over CALIB_QUERIES, driver r4 @ sf0.1
+CALIB_REFERENCE_SEC = 2.667  # sweep sum over CALIB_QUERIES, driver r4 @ sf0.1
 
 
 def calibrate(spark: SparkSession, sf_dir: str, runs: int = 3) -> dict[str, float]:
@@ -315,12 +320,15 @@ def main() -> None:
     crawl = next(r for r in runs if r["urls_per_sec"] == rates[len(rates) // 2])
     queries = bench_queries(spark, sf_dir)
 
-    # Calibration runs AFTER the query sweep so the JVM/plan caches are in
-    # the same state every round (the triple also runs inside HEADLINE, so
-    # it is always warm here). The reference anchor is sf0.1-only — at
-    # other sf dirs the raw calib times are still reported, factor = null.
-    calib = calibrate(spark, sf_dir)
+    # The factor compares like with like: the anchor is the triple's
+    # headline-sweep cost in the r4 driver window, so this run's sweep
+    # timings (same position: first use after the crawl phase) are the
+    # measure. The warm re-runs below are a stability diagnostic only.
+    # The reference anchor is sf0.1-only — at other sf dirs the raw calib
+    # times are still reported, factor = null.
+    calib = {q: queries[q] for q in CALIB_QUERIES}
     calib_time = round(sum(calib.values()), 3)
+    warm = calibrate(spark, sf_dir)
     if abs(sf - 0.1) < 1e-9:
         host_factor = round(calib_time / CALIB_REFERENCE_SEC, 3)
         crawl_normalized = round(rates[len(rates) // 2] * host_factor, 1)
@@ -345,6 +353,7 @@ def main() -> None:
                     "total_sec": calib_time,
                     "reference_sec": CALIB_REFERENCE_SEC,
                     "host_factor": host_factor,
+                    "warm_queries": warm,
                 },
                 "crawl_urls_per_sec_normalized": crawl_normalized,
                 "crawl_small_wave": crawl_small,
