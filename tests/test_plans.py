@@ -368,25 +368,23 @@ def test_cms_probe_broadcasts_sketch_not_stream(spark, sf_dir):
 def test_source_kl_exchanges_carry_cells_not_text(spark, sf_dir):
     """source_kl's corpus pass must reduce to (key, bucket) cells before
     anything shuffles: no exchange input may carry the document text or
-    the exploded token column, and the single tokenize pass is reused
-    through the persisted cell table."""
+    the exploded token column. Round 6 dropped the persisted cell table
+    (AQE stage reuse dedupes the shared aggregate exchange instead — see
+    test_dsir_and_source_kl_tokenize_once_per_input_without_persist), so
+    the plan must also be cache-free."""
     from arxiv_crawler_spark.operators.sampling import source_kl
 
     docs = load(spark, sf_dir, "documents")
     df = source_kl(docs, key_col="source", text_col="text", n_buckets=256)
-    try:
-        p = plan_of(df, "formatted")
-        assert "InMemoryTableScan" in p  # one tokenize pass, cached cells
-        for b in p.split("\n\n"):
-            first = b.splitlines()[0] if b.splitlines() else ""
-            if first.lstrip().startswith("(") and "Exchange" in first:
-                in_line = next(
-                    (ln for ln in b.splitlines() if ln.strip().startswith("Input")), ""
-                )
-                assert "text" not in in_line and "_t#" not in in_line, b
-    finally:
-        for (rdd_id, rdd) in list(spark.sparkContext._jsc.getPersistentRDDs().items()):
-            rdd.unpersist()
+    p = plan_of(df, "formatted")
+    assert "InMemoryTableScan" not in p  # round-6 leak fix: no cached cells
+    for b in p.split("\n\n"):
+        first = b.splitlines()[0] if b.splitlines() else ""
+        if first.lstrip().startswith("(") and "Exchange" in first:
+            in_line = next(
+                (ln for ln in b.splitlines() if ln.strip().startswith("Input")), ""
+            )
+            assert "text" not in in_line and "_t#" not in in_line, b
 
 
 def test_bloom_decontaminate_broadcasts_bits_not_grams(spark, sf_dir):
