@@ -132,3 +132,22 @@ def test_global_row_index_matches_global_window(spark):
     assert got.count() == 5000
     diff = got.join(want, ["a", "b", "c"]).filter(got["idx"] != want["idx"]).count()
     assert diff == 0
+
+
+def test_pipeline_audits_release_their_caches(spark, sf_dir):
+    """q79/q85 materialize each stage boundary exactly once (the round-6
+    recompute fix) and must release every cache before returning — the
+    leak the advisor flagged for the operators, pinned here for the
+    composed pipelines. The audit row itself must be driver-literal
+    (no lingering lineage over the corpus)."""
+    from arxiv_crawler_spark.plans.analytics import q79_pipeline_v2, q85_pipeline_v3
+
+    jsc = spark.sparkContext._jsc
+    for fn, ncols in ((q79_pipeline_v2, 8), (q85_pipeline_v3, 10)):
+        before = dict(jsc.getPersistentRDDs())
+        row = fn(spark, sf_dir).collect()
+        assert len(row) == 1 and len(row[0]) == ncols
+        assert row[0]["n_input"] > row[0]["n_sampled"] > 0
+        after = dict(jsc.getPersistentRDDs())
+        leaked = set(after) - set(before)
+        assert not leaked, f"{fn.__name__} leaked cached RDDs: {leaked}"
