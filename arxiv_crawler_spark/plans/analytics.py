@@ -34,6 +34,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Input-skew guard (optimization guide §2.5 "one huge unsplittable
+    file"): a single-file / single-row-group parquet table scans as ONE
+    task, so every per-row-heavy operator downstream (tokenize, explode,
+    gram hashing, vector math) serializes onto one core while the rest of
+    the cluster idles. Round-robin to the session parallelism when the
+    scan arrives under-partitioned; a real-scale input (many files / many
+    row groups) already exceeds the target and passes through untouched —
+    no exchange is added at 100 TB. Applied at the query layer, not inside
+    the operators, so the operators' pinned minimal plan shapes (e.g.
+    duplicate_spans' exactly-two-exchange contract) stay intact for
+    callers that feed well-partitioned inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # synthetic derivations shared by crawl-shaped queries (deterministic from
 # doc_id so the oracle can reproduce them in SQL)
@@ -268,7 +286,7 @@ from events group by 1
 
 
 def q12_explode_tokens(spark, sf):  # F8 A1
-    d = load(spark, sf, "documents")
+    d = _par(load(spark, sf, "documents"))
     return (
         d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -733,7 +751,7 @@ from documents
 
 
 def q31_sessionize(spark, sf):  # stateful sessionization
-    return EV.sessionize(load(spark, sf, "events"))
+    return EV.sessionize(_par(load(spark, sf, "events")))
 
 
 _SQL_Q31 = """
@@ -755,7 +773,7 @@ from sess group by 1, 2
 
 
 def q32_tumbling_window(spark, sf):  # event-time window agg
-    return EV.tumbling_rollup(load(spark, sf, "events"), "6 hours")
+    return EV.tumbling_rollup(_par(load(spark, sf, "events")), "6 hours")
 
 
 _SQL_Q32 = """
@@ -2324,7 +2342,7 @@ def q73_bm25_search(spark, sf):
     deterministic; the oracle restates the same formula in SQL."""
     from arxiv_crawler_spark.operators.search import bm25_topk
 
-    docs = load(spark, sf, "documents")
+    docs = _par(load(spark, sf, "documents"))
     return bm25_topk(docs, ["spark", "hash", "join", "customer"], k=20)
 
 
@@ -2358,7 +2376,7 @@ def q74_repetition_signals(spark, sf):
     fraction — the pre-dedup curation gate, per document."""
     from arxiv_crawler_spark.operators.search import repetition_signals
 
-    return repetition_signals(load(spark, sf, "documents"), n_top=2, n_dup=3)
+    return repetition_signals(_par(load(spark, sf, "documents")), n_top=2, n_dup=3)
 
 
 def _sql_q74() -> str:
@@ -2437,7 +2455,7 @@ def q76_temperature_sample(spark, sf):
     column predicate."""
     from arxiv_crawler_spark.operators.sampling import temperature_sample
 
-    return temperature_sample(load(spark, sf, "documents"), "lang", 2.0, seed=42)
+    return temperature_sample(_par(load(spark, sf, "documents")), "lang", 2.0, seed=42)
 
 
 _SQL_Q76 = """
@@ -2459,7 +2477,7 @@ def q77_pack_sequences(spark, sf):
     offset // 512 — the training-shard assignment as a window plan."""
     from arxiv_crawler_spark.operators.sampling import pack_sequences
 
-    return pack_sequences(load(spark, sf, "documents"), budget_tokens=512, n_buckets=8)
+    return pack_sequences(_par(load(spark, sf, "documents")), budget_tokens=512, n_buckets=8)
 
 
 _SQL_Q77 = f"""
@@ -2665,7 +2683,7 @@ def q80_duplicate_spans(spark, sf):
     gram-hash shuffle + one per-doc gaps-and-islands pass."""
     from arxiv_crawler_spark.operators.dedup import duplicate_spans
 
-    return duplicate_spans(load(spark, sf, "documents"), n=8)
+    return duplicate_spans(_par(load(spark, sf, "documents")), n=8)
 
 
 def _sql_q80() -> str:
@@ -2705,7 +2723,7 @@ def q81_remove_duplicate_spans(spark, sf):
     to Catalyst."""
     from arxiv_crawler_spark.operators.dedup import remove_duplicate_spans
 
-    return remove_duplicate_spans(load(spark, sf, "documents"), n=8)
+    return remove_duplicate_spans(_par(load(spark, sf, "documents")), n=8)
 
 
 def _sql_q81() -> str:
@@ -3315,7 +3333,7 @@ def q88_lm_perplexity(spark, sf):
     scoring = co-keyed joins, one per-doc reduction."""
     from arxiv_crawler_spark.operators.search import lm_perplexity
 
-    return lm_perplexity(load(spark, sf, "documents"))
+    return lm_perplexity(_par(load(spark, sf, "documents")))
 
 
 _SQL_Q88 = f"""
@@ -3349,7 +3367,7 @@ def q89_ccnet_buckets(spark, sf):
     ulp-safe."""
     from arxiv_crawler_spark.operators.search import lm_perplexity
 
-    scored = lm_perplexity(load(spark, sf, "documents"))
+    scored = lm_perplexity(_par(load(spark, sf, "documents")))
     f1, f2 = 1.0 / 3.0, 2.0 / 3.0
     cuts = scored.agg(
         F.expr(f"percentile(bits_per_bigram, array({f1!r}, {f2!r}))").alias("_c")
@@ -3392,7 +3410,7 @@ def q90_dsir_select(spark, sf):
     the whole chain bit-for-bit."""
     from arxiv_crawler_spark.operators.sampling import dsir_select
 
-    docs = load(spark, sf, "documents")
+    docs = _par(load(spark, sf, "documents"))
     return dsir_select(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
@@ -3625,7 +3643,7 @@ def q94_paragraph_dedup(spark, sf):
     block, keep the corpus-wide first occurrence (doc_id, pos order),
     reassemble documents from surviving paragraphs. One keyed shuffle on
     the paragraph hash + one on doc_id."""
-    return DD.paragraph_dedup(load(spark, sf, "documents"), block_tokens=8)
+    return DD.paragraph_dedup(_par(load(spark, sf, "documents")), block_tokens=8)
 
 
 _SQL_Q94 = """
@@ -3723,7 +3741,7 @@ def q96_hll_distinct(spark, sf):
     relative error)."""
     from arxiv_crawler_spark.operators.sketches import hll_estimate, hll_registers
 
-    docs = load(spark, sf, "documents")
+    docs = _par(load(spark, sf, "documents"))
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
     est = hll_estimate(hll_registers(toks, "token", p=8), p=8)
     exact = toks.agg(F.countDistinct("token").cast("long").alias("exact_cnt"))
@@ -3770,7 +3788,7 @@ def q97_cms_heavy_hitters(spark, sf):
     deterministic candidate set so DuckDB replays build AND probe."""
     from arxiv_crawler_spark.operators.sketches import cms_build, cms_query
 
-    docs = load(spark, sf, "documents")
+    docs = _par(load(spark, sf, "documents"))
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
     sketch = cms_build(toks, "token", d=4, w=512)
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
@@ -3824,7 +3842,7 @@ def q98_source_kl(spark, sf):
     divergence exactly."""
     from arxiv_crawler_spark.operators.sampling import source_kl
 
-    docs = load(spark, sf, "documents")
+    docs = _par(load(spark, sf, "documents"))
     return source_kl(docs, key_col="source", text_col="text", n_buckets=1024)
 
 
