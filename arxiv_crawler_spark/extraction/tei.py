@@ -36,9 +36,10 @@ golden test compares that field order-insensitively
 (tests/test_citation_extractor.py:149-158), so sorted order is within spec
 while making the canonical JSON reproducible across runs.
 
-The engine path is ``extract_pages`` — a ``mapInPandas`` transform: Arrow
+The engine path is ``extract_pages`` — a ``mapInArrow`` transform: Arrow
 batches of ``(url, html)`` in, one Python XML parse per *document* (the
-granularity the reference also pays), no per-row Python UDF calls.
+granularity the reference also pays), no per-row Python UDF calls, and the
+nested output assembled batch-at-a-time by pyarrow's C++ converter.
 """
 
 from __future__ import annotations
@@ -51,7 +52,6 @@ import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 from typing import Any
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -102,13 +102,27 @@ def _sentence_context(ref: ET.Element, parents: dict[ET.Element, ET.Element]) ->
 
 def _extract_arxiv_id(bib: ET.Element, venue_list: list[str]) -> str | None:
     """The four-strategy cascade of arxiv_util.py:132-185, same order."""
-    for idno in bib.iter(_t("idno")):
+    return _arxiv_id_from_parts(
+        bib, list(bib.iter(_t("idno"))), list(bib.iter(_t("ptr"))), venue_list
+    )
+
+
+def _arxiv_id_from_parts(
+    bib: ET.Element,
+    idnos: list[ET.Element],
+    ptrs: list[ET.Element],
+    venue_list: list[str],
+) -> str | None:
+    """Cascade body over pre-collected subtree element lists (document
+    order), so the bib subtree is walked once by the caller instead of
+    three more times here."""
+    for idno in idnos:
         if idno.get("type") == "arXiv" and idno.text:
             m = _RE_EXPLICIT.search(idno.text)
             if m:
                 return m.group(1)
             break  # reference checks only the first arXiv-typed idno text
-    for idno in bib.iter(_t("idno")):
+    for idno in idnos:
         text = idno.text or ""
         m = _RE_ABS.search(text)
         if m:
@@ -116,7 +130,7 @@ def _extract_arxiv_id(bib: ET.Element, venue_list: list[str]) -> str | None:
         m = _RE_URL.search(text)
         if m:
             return m.group(1)
-    for ptr in bib.iter(_t("ptr")):
+    for ptr in ptrs:
         target = ptr.get("target") or ""
         m = _RE_URL.search(target)
         if m:
@@ -335,36 +349,60 @@ def extract_citations(xml_bytes: bytes) -> dict[str, dict[str, Any]]:
 
 
 def citations_from_root(root: ET.Element) -> dict[str, dict[str, Any]]:
+    # Hot path of the crawl headline (~1.5 ms/doc before round 7): the
+    # original shape walked each bib subtree ~8 times (authors, titles ×2,
+    # dates, monogr, idno ×2, ptr) and built a full parent-pointer dict
+    # just to climb from each <ref> to its sentence. This version collects
+    # every bib field in ONE subtree pass, and resolves ref→sentence
+    # contexts with ONE preorder DFS that tracks the nearest <s>/<p>
+    # ancestors on the way down (plus a per-<s> text cache — several refs
+    # usually share a sentence). Field-by-field semantics are unchanged;
+    # byte parity is pinned by tests/test_extraction.py.
     citations: dict[str, dict[str, Any]] = {}
     references_sets: dict[str, set[str]] = {}
+    t_author, t_pers = _t("author"), _t("persName")
+    t_title, t_date, t_monogr = _t("title"), _t("date"), _t("monogr")
+    t_idno, t_ptr = _t("idno"), _t("ptr")
 
     for listbibl in root.iter(_t("listBibl")):
         for bib in listbibl.findall(_t("biblStruct")):
             citation_id = bib.get(XML_ID)
             if not citation_id:
                 continue
-            authors = []
-            for author in bib.iter(_t("author")):
-                for pers in author.findall(_t("persName")):
-                    name_parts = [e.text for e in pers.findall(_t("forename")) if e.text]
-                    name_parts += [e.text for e in pers.findall(_t("surname")) if e.text]
-                    if name_parts:
-                        authors.append(" ".join(name_parts))
-            titles = [e.text for e in bib.iter(_t("title")) if e.get("level") == "a" and e.text]
-            if not titles:
-                titles = [e.text for e in bib.iter(_t("title")) if e.text]
-            years = [
-                e.get("when")
-                for e in bib.iter(_t("date"))
-                if e.get("type") == "published" and e.get("when")
-            ]
+            authors: list[str] = []
+            titles_a: list[str] = []
+            titles_any: list[str] = []
+            years: list[str] = []
+            monogrs: list[ET.Element] = []
+            idnos: list[ET.Element] = []
+            ptrs: list[ET.Element] = []
+            for e in bib.iter():
+                tag = e.tag
+                if tag == t_title:
+                    if e.text:
+                        titles_any.append(e.text)
+                        if e.get("level") == "a":
+                            titles_a.append(e.text)
+                elif tag == t_author:
+                    for pers in e.findall(t_pers):
+                        name_parts = [c.text for c in pers.findall(_t("forename")) if c.text]
+                        name_parts += [c.text for c in pers.findall(_t("surname")) if c.text]
+                        if name_parts:
+                            authors.append(" ".join(name_parts))
+                elif tag == t_date:
+                    if e.get("type") == "published" and e.get("when"):
+                        years.append(e.get("when"))
+                elif tag == t_monogr:
+                    monogrs.append(e)
+                elif tag == t_idno:
+                    idnos.append(e)
+                elif tag == t_ptr:
+                    ptrs.append(e)
+            titles = titles_a or titles_any
             venues = [
-                t.text
-                for mono in bib.iter(_t("monogr"))
-                for t in mono.findall(_t("title"))
-                if t.text
+                t.text for mono in monogrs for t in mono.findall(t_title) if t.text
             ]
-            arxiv_id = _extract_arxiv_id(bib, venues)
+            arxiv_id = _arxiv_id_from_parts(bib, idnos, ptrs, venues)
             citations[citation_id] = {
                 "details": {
                     "authors": authors,
@@ -377,19 +415,63 @@ def citations_from_root(root: ET.Element) -> dict[str, dict[str, Any]]:
             }
             references_sets[citation_id] = set()
 
-    parents = {c: p for p in root.iter() for c in p}
-    for ref in root.iter(_t("ref")):
-        if ref.get("type") != "bibr":
-            continue
-        target = (ref.get("target") or "").lstrip("#")
-        if target in citations:
-            sentence = _sentence_context(ref, parents)
-            if sentence:
-                references_sets[target].add(sentence)
+    if citations:
+        _collect_ref_contexts(root, references_sets)
 
     for cid, cit in citations.items():
         cit["references"] = sorted(references_sets[cid])
     return citations
+
+
+def _collect_ref_contexts(root: ET.Element, references_sets: dict[str, set[str]]) -> None:
+    """Resolve every ``ref[@type="bibr"]`` to its sentence context — same
+    semantics as the per-ref ancestor climb (:func:`_sentence_context`):
+    nearest ``<s>`` wins, else the nearest ``<p>`` with the '. '-split
+    fallback — without building parent pointers."""
+    # Containment inversion: instead of climbing from every ref to its
+    # ancestors (which needs a full parent-pointer dict), iterate the
+    # <s>/<p> elements (C-level tag-filtered .iter) and find the bibr refs
+    # INSIDE each. An ancestor chain is visited outer→inner in preorder,
+    # so "last writer wins" per ref reproduces the nearest-ancestor rule;
+    # a ref under any <s> never takes the <p> fallback, exactly like the
+    # climb.
+    t_s, t_p, t_ref = _t("s"), _t("p"), _t("ref")
+    s_of: dict[int, tuple[ET.Element, ET.Element]] = {}
+    p_of: dict[int, tuple[ET.Element, ET.Element]] = {}
+    for s in root.iter(t_s):
+        for ref in s.iter(t_ref):
+            if ref.get("type") == "bibr":
+                s_of[id(ref)] = (ref, s)
+    for p in root.iter(t_p):
+        for ref in p.iter(t_ref):
+            if ref.get("type") == "bibr" and id(ref) not in s_of:
+                p_of[id(ref)] = (ref, p)
+    text_cache: dict[int, str] = {}
+    for ref, s in s_of.values():
+        target = (ref.get("target") or "").lstrip("#")
+        rs = references_sets.get(target)
+        if rs is None:
+            continue
+        key = id(s)
+        sentence = text_cache.get(key)
+        if sentence is None:
+            sentence = _get_text(s)
+            text_cache[key] = sentence
+        if sentence:
+            rs.add(sentence)
+    for ref, p in p_of.values():
+        target = (ref.get("target") or "").lstrip("#")
+        rs = references_sets.get(target)
+        if rs is None:
+            continue
+        para_text = _get_text(p)
+        ref_text = _get_text(ref)
+        for sent in para_text.split(". "):
+            if ref_text in sent:
+                sent = sent.strip()
+                if sent:
+                    rs.add(sent)
+                break
 
 
 def extract_paper_metadata(xml_bytes: bytes) -> dict[str, Any]:
@@ -482,7 +564,7 @@ def extract_pages(
 ) -> DataFrame:
     """Engine extraction: ``(url, html)`` → ``EXTRACTED_SCHEMA`` rows.
 
-    ``mapInPandas``: Arrow-batched; each batch is processed with one Python
+    ``mapInArrow``: Arrow-batched; each batch is processed with one Python
     call per *document* (XML parsing is inherently per-document — the same
     granularity the reference pays per Grobid response). Extraction errors
     yield ``ok=false`` rows (→ failed status, crawler.py:181-186) instead of
@@ -503,19 +585,35 @@ def extract_pages(
     else:
         out_schema = EXTRACTED_SCHEMA
 
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {
-                "ok": [],
-                "citations": [],
-                "extracted_text": [],
-                "num_citations": [],
-                **{c: [] for c in meta_cols},
-            }
-            for html in pdf[html_col]:
+    # Round-7 optimization (guide §4.2): mapInArrow instead of mapInPandas.
+    # The passthrough columns (the wave's ~8 scheduling columns) are sliced
+    # straight out of the input RecordBatch with zero conversion, and the
+    # extraction output — including the nested citations list<struct> — is
+    # assembled once per batch by pyarrow's C++ python-object converter
+    # with explicit types, skipping the pandas object-column round trip
+    # that cost ~0.5 ms/doc at crawl-bench scale.
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(out_schema)
+    out_names = [f.name for f in out_schema.fields]
+    gen_names = ["ok", "citations", "extracted_text", "num_citations", *meta_cols]
+    pass_names = [n for n in out_names if n not in gen_names]
+    gen_types = {n: arrow_schema.field(n).type for n in gen_names}
+
+    def process(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            html_arr = rb.column(rb.schema.get_field_index(html_col))
+            out: dict[str, list] = {c: [] for c in gen_names}
+            o_ok = out["ok"]
+            o_cit = out["citations"]
+            o_txt = out["extracted_text"]
+            o_n = out["num_citations"]
+            for html in html_arr:
                 # parse once; both extractors walk the same tree
                 try:
-                    root = parse_tei(bytes(html))
+                    root = parse_tei(html.as_py())
                     cits = citations_from_root(root)
                     rows = [
                         {
@@ -531,23 +629,26 @@ def extract_pages(
                         for cid, c in cits.items()
                     ]
                     meta = metadata_from_root(root)
-                    out["ok"].append(True)
-                    out["citations"].append(rows)
-                    out["extracted_text"].append(canonical_extraction_json(cits))
-                    out["num_citations"].append(len(rows))
+                    o_ok.append(True)
+                    o_cit.append(rows)
+                    o_txt.append(canonical_extraction_json(cits))
+                    o_n.append(len(rows))
                     for c in meta_cols:
                         out[c].append(meta[c])
                 except Exception:
-                    out["ok"].append(False)
-                    out["citations"].append([])
-                    out["extracted_text"].append(None)
-                    out["num_citations"].append(0)
+                    o_ok.append(False)
+                    o_cit.append([])
+                    o_txt.append(None)
+                    o_n.append(0)
                     for c in meta_cols:
                         out[c].append([] if c in ("authors", "categories") else None)
-            base = (
-                pdf.drop(columns=[html_col]) if passthrough else pdf[[url_col]]
-            ).reset_index(drop=True)
-            yield base.assign(**out)
+            cols = []
+            for name in out_names:
+                if name in gen_types:
+                    cols.append(pa.array(out[name], type=gen_types[name]))
+                else:
+                    cols.append(rb.column(rb.schema.get_field_index(name)))
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
     src = pages if passthrough else pages.select(url_col, html_col)
-    return src.mapInPandas(process, schema=out_schema)
+    return src.mapInArrow(process, schema=out_schema)

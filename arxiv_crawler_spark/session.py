@@ -46,7 +46,17 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-split sizing is scale-dependent (guide §6): the local test
+        # tables are single 5-130 MB parquet files whose row groups only
+        # split below the 128 MB default, so the default serializes a 6M-row
+        # lineitem scan onto one core. 16 MB splits give row-group-level
+        # parallelism locally; on a real cluster with 128 MB-1 GB files set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES to 512m-1g so big sequential scans
+        # keep few, large tasks (guide §2.2).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
