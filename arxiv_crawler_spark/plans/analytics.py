@@ -751,7 +751,7 @@ from documents
 
 
 def q31_sessionize(spark, sf):  # stateful sessionization
-    return EV.sessionize(_par(load(spark, sf, "events")))
+    return EV.sessionize(load(spark, sf, "events"))
 
 
 _SQL_Q31 = """
@@ -773,7 +773,7 @@ from sess group by 1, 2
 
 
 def q32_tumbling_window(spark, sf):  # event-time window agg
-    return EV.tumbling_rollup(_par(load(spark, sf, "events")), "6 hours")
+    return EV.tumbling_rollup(load(spark, sf, "events"), "6 hours")
 
 
 _SQL_Q32 = """
@@ -2376,7 +2376,7 @@ def q74_repetition_signals(spark, sf):
     fraction — the pre-dedup curation gate, per document."""
     from arxiv_crawler_spark.operators.search import repetition_signals
 
-    return repetition_signals(_par(load(spark, sf, "documents")), n_top=2, n_dup=3)
+    return repetition_signals(load(spark, sf, "documents"), n_top=2, n_dup=3)
 
 
 def _sql_q74() -> str:
@@ -2455,7 +2455,7 @@ def q76_temperature_sample(spark, sf):
     column predicate."""
     from arxiv_crawler_spark.operators.sampling import temperature_sample
 
-    return temperature_sample(_par(load(spark, sf, "documents")), "lang", 2.0, seed=42)
+    return temperature_sample(load(spark, sf, "documents"), "lang", 2.0, seed=42)
 
 
 _SQL_Q76 = """
@@ -2477,7 +2477,7 @@ def q77_pack_sequences(spark, sf):
     offset // 512 — the training-shard assignment as a window plan."""
     from arxiv_crawler_spark.operators.sampling import pack_sequences
 
-    return pack_sequences(_par(load(spark, sf, "documents")), budget_tokens=512, n_buckets=8)
+    return pack_sequences(load(spark, sf, "documents"), budget_tokens=512, n_buckets=8)
 
 
 _SQL_Q77 = f"""
@@ -3643,7 +3643,7 @@ def q94_paragraph_dedup(spark, sf):
     block, keep the corpus-wide first occurrence (doc_id, pos order),
     reassemble documents from surviving paragraphs. One keyed shuffle on
     the paragraph hash + one on doc_id."""
-    return DD.paragraph_dedup(_par(load(spark, sf, "documents")), block_tokens=8)
+    return DD.paragraph_dedup(load(spark, sf, "documents"), block_tokens=8)
 
 
 _SQL_Q94 = """

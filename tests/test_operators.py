@@ -168,6 +168,64 @@ def test_knn_brute_force_self_similarity(spark):
     assert out[0]["cos"] > 0.99
 
 
+def test_knn_brute_force_matches_jvm_reference(spark):
+    """Round-7 contract for the vectorized scorer: the mapInPandas BLAS
+    path (per-batch candidate pruning + JVM window rank) must reproduce
+    the straightforward JVM crossJoin reference exactly — including the
+    (cos desc, neighbor_id asc) tie-break on DUPLICATE vectors, and with
+    the corpus split over many partitions so per-batch cuts are
+    exercised."""
+    from pyspark.sql import Window as W
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(120, 8).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    # exact duplicate vectors → cosine ties the rank must break by id
+    rows[50] = (50, base[7].tolist())
+    rows[90] = (90, base[7].tolist())
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(16)
+    q = emb.filter("vec_id < 15")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 9))
+        for r in KNN.brute_force_topk(q, emb, k=6).collect()
+    }
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    qn = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cn = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    ref = (
+        qn.crossJoin(cn)
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("cv"), F.col("cv")))
+            ),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 6)
+        .collect()
+    )
+    want = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 9)) for r in ref}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert abs(got[key][1] - want[key][1]) < 1e-9
+
+
 def test_lsh_recall_vs_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 20)
