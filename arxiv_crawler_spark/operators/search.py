@@ -8,12 +8,12 @@ hybrid-retrieval partner of operators/knn.py). Repetition signals are the
 MassiveText/Gopher curation filters (Rae et al. 2021, table A1) — the gate
 that runs BEFORE dedup in a 100-TB webtext pipeline.
 
-Scale shape (BM25): the corpus pass is restricted to the query's terms
-BEFORE any aggregation — `array_intersect` keeps only matching tokens, so
-the exploded term-frequency table is O(matching docs × |query|), never
-O(corpus tokens); document length stats are one scalar aggregate; the tiny
-per-term df table and the 1-row stats both broadcast into the scoring
-join. Nothing corpus-sized ever shuffles.
+Scale shape (BM25): ONE tokenize pass over the corpus (round 7) — each doc
+emits its per-query-term hits plus one sentinel row, reduced to an
+(id, term) count table whose exchange every branch (tf, per-term df,
+corpus stats) reuses at runtime; the exploded table is O(docs × |query|),
+never O(corpus tokens); the tiny per-term df table and the 1-row stats
+both broadcast into the scoring join. Nothing corpus-sized ever shuffles.
 
 Scale shape (repetition): one explode + groupBy(doc, gram) count — the
 same inverted-index shuffle as dedup shingling; per-doc reduction is a
@@ -48,6 +48,19 @@ def bm25_topk(
     mirror it bit-for-bit.
     """
     qt = F.array(*[F.lit(t) for t in query_terms])
+    # ONE tokenize pass over the corpus (round 7, guide §2.4): the old
+    # shape tokenized twice — once for the corpus-stats scalar (n_docs,
+    # avgdl need EVERY doc), once for the tf table (hit docs only). Every
+    # fact now derives from a single (id, term) count table: each document
+    # emits its per-query-term hits PLUS one sentinel ""-row (tokens are
+    # never empty strings, so no collision), and the sentinel slice
+    # carries exactly one row per document for the stats. The tf/stats
+    # split filters on an AGGREGATED marker column (first(term = "")), so
+    # neither filter can push below the shared aggregate and break AQE
+    # exchange reuse; the always-true isNotNull keeps the scoring join's
+    # inferred constraint identical across branches — the same stage-reuse
+    # discipline as lm_perplexity's self-mode. avgdl stays bit-equal: dl
+    # is an int and Σdl ≪ 2^53, so the double sum is exact in any order.
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(
@@ -56,16 +69,40 @@ def bm25_topk(
         # per-query-term hits BEFORE exploding: |docs|×|query| rows max
         F.filter(F.col("_toks"), lambda t: F.array_contains(qt, t)).alias("_hits"),
     )
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    base = toks.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.concat(F.coalesce(F.col("_hits"), F.array()), F.array(F.lit("")))
+        ).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    # exactly TWO aggregate outputs (tf + a struct of everything else), and
+    # every consumer references BOTH — otherwise per-branch column pruning
+    # drops unused aggregate expressions below the shared agg and the
+    # exchanges stop canonicalizing equal (no ReusedExchange, and the
+    # corpus is tokenized once per branch again). count("tf") ≡ count(1)
+    # (tf is a count, never null) — used where a branch would otherwise
+    # not touch tf.
+    d1 = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first(
+            F.struct(F.col("dl").alias("dl"), (F.col("term") == "").alias("sent"))
+        ).alias("_m"),
     )
-    tf = (
-        toks.filter(F.size("_hits") > 0)
-        .select(id_col, "dl", F.explode("_hits").alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    tf = d1.filter(~F.col("_m.sent")).select(
+        id_col, "term", "tf", F.col("_m.dl").alias("dl")
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = d1.filter(F.col("_m.sent")).agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("n_docs"),
+        F.avg(F.col("_m.dl")).alias("avgdl"),
+    )
+    # count over when(tf >= 1) ≡ count(1) (tf is a per-group count, always
+    # ≥ 1) but, unlike count(tf), survives the non-null-count rewrite —
+    # without a live tf reference this branch prunes d1's count aggregate
+    # and rebuilds the exchange instead of reusing it
+    df_t = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("df")
+    )
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))

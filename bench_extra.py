@@ -53,8 +53,10 @@ def main() -> None:
                 fh.write(buf.getvalue())
         ts = []
         for _ in range(args.repeat):
-            df = SPARK_QUERIES[name](spark, args.sf)
+            # time construction + action, exactly like bench.py (iterative
+            # operators run driver-side jobs during construction)
             t0 = time.monotonic()
+            df = SPARK_QUERIES[name](spark, args.sf)
             if args.noop:
                 df.write.format("noop").mode("overwrite").save()
             else:

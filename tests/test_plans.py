@@ -317,6 +317,21 @@ def test_winnow_fingerprints_single_doc_shuffle(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_bm25_tokenizes_once(spark, sf_dir):
+    """Round 7: BM25 must pay ONE tokenize+explode pass — the corpus
+    stats (which need every doc) ride a per-doc sentinel row through the
+    same (id, term) count table the tf/df branches read, and AQE stage
+    reuse dedupes that table's exchange at runtime (the round-6 shape
+    tokenized the corpus twice)."""
+    from arxiv_crawler_spark.operators.search import bm25_topk
+
+    df = bm25_topk(load(spark, sf_dir, "documents"), ["spark", "hash", "join"], k=10)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 1, final
+    assert "ReusedExchange" in final
+
+
 def test_bm25_no_sort_merge_joins(spark, sf_dir):
     """df and corpus stats are tiny by construction (|query| terms / one
     row) and must broadcast into the scoring join even with size-based
