@@ -394,14 +394,21 @@ class CrawlEngine:
         # THROUGH the UDF (passthrough), so no join reunites wave and
         # extraction afterwards; the only wave rows missing from ``ext`` are
         # urls with no page at all (dangling citations → failed pops,
-        # crawler.py:261-263), restored via a left-anti against the
-        # broadcast-able extracted key set — wave-sized, never pages-sized.
-        ext = extract_pages(fetch, passthrough=True).cache()
-        ext_keys = ext.select("url_hash")
-        if (waved if waved is not None else wave_cap) <= self.cfg.broadcast_wave_max:
-            ext_keys = F.broadcast(ext_keys)
+        # crawler.py:261-263). Round 7: those are restored from a left-anti
+        # against the pages URL COLUMN, not against the extraction output —
+        # extraction never drops a matched row (parse failures come back as
+        # ok=false), so wave ∖ pages.url ≡ wave ∖ ext.keys, and deriving it
+        # from the column-pruned pages scan frees ``ext`` from having a
+        # second consumer. With one consumer, ext needs NO cache: the old
+        # shape materialized the fat extraction output into executor memory
+        # (~10 KB/doc — 7.5 GB at the 750k production wave) only so the
+        # missing-row anti-join could read its keys, and the anti-join
+        # stage then sat in block-level cache locks waiting on extraction
+        # (measured: an 800 s-task-time stage with 90 s of CPU per
+        # production round).
+        ext = extract_pages(fetch, passthrough=True)
         ext_fields = [f for f in ext.schema.fields if f.name not in wave.columns]
-        missing = wave.join(ext_keys, "url_hash", "left_anti").select(
+        missing = wave.join(self.pages.select("url"), "url", "left_anti").select(
             "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in ext_fields]
         )
         fetched = (
@@ -508,12 +515,8 @@ class CrawlEngine:
             waved = int(stats["p"] or 0) + int(stats["f"] or 0)
             if waved == 0:  # budgets deferred everything; nothing to commit
                 wave.unpersist()
-                ext.unpersist()
                 fetched.unpersist()
                 return None
-        # fetched's cache is materialized now — release the ext cache so the
-        # fat extraction output is held once, not twice
-        ext.unpersist()
         _mark("fetch+extract+stats")
 
         if self.cfg.exact_lineage:
@@ -695,7 +698,7 @@ class CrawlEngine:
         )
         new_size = int(committed["frontier_size"])
         _mark("commit")
-        for df in (wave, ext, fetched, disc, new_frontier_part):
+        for df in (wave, fetched, disc, new_frontier_part):
             df.unpersist()
         return RoundResult(
             round_no,
