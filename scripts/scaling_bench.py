@@ -120,7 +120,8 @@ Headline analytics queries at sf={r32['sf']} (seconds, 4N / N):
 
 Spark confs: AQE on (coalesce + skew join), runtime Bloom-filter join
 pruning on, Arrow pandas UDFs, shuffle partitions = core count,
-`spark.sql.files.maxPartitionBytes=128m`.
+`spark.sql.files.maxPartitionBytes` from `SPARK_GRAFT_MAX_PARTITION_BYTES`
+(16m local default; 512m-1g recommended on real clusters).
 
 Raw JSON:
 
